@@ -1,0 +1,81 @@
+"""Sharding/mesh tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from small_vision_tpu import parallel
+
+
+def test_virtual_devices():
+  assert jax.device_count() == 8
+
+
+def test_make_mesh_shapes():
+  m1 = parallel.make_mesh()
+  assert m1.axis_names == ("data",) and m1.shape["data"] == 8
+
+  m2 = parallel.make_mesh(fsdp=4)
+  assert m2.axis_names == ("data", "fsdp")
+  assert m2.shape["data"] == 2 and m2.shape["fsdp"] == 4
+
+  m3 = parallel.make_mesh(data=2, fsdp=2, tensor=2)
+  assert m3.axis_names == ("data", "fsdp", "tensor")
+
+
+def test_infer_sharding_replicated_and_fsdp():
+  mesh = parallel.make_mesh()
+  tree = {
+      "big": jax.ShapeDtypeStruct((1024, 512), jnp.float32),   # shardable
+      "odd": jax.ShapeDtypeStruct((1021, 513), jnp.float32),   # indivisible
+      "small": jax.ShapeDtypeStruct((4, 4), jnp.float32),      # too small
+  }
+  repl = parallel.infer_sharding(tree, mesh, "replicated")
+  assert all(s.spec == P() for s in jax.tree.leaves(repl))
+
+  fsdp = parallel.infer_sharding(tree, mesh, "fully_sharded")
+  assert fsdp["big"].spec == P("data", None)    # largest dim = 1024 (dim 0)
+  assert fsdp["odd"].spec == P()                # nothing divisible by 8
+  assert fsdp["small"].spec == P()              # under threshold
+
+
+def test_fsdp_prefers_fsdp_axis_on_2d_mesh():
+  mesh = parallel.make_mesh(fsdp=4)
+  tree = {"w": jax.ShapeDtypeStruct((512, 1024), jnp.float32)}
+  shardings = parallel.infer_sharding(tree, mesh, "fully_sharded")
+  assert shardings["w"].spec == P(None, "fsdp")  # largest dim over fsdp axis
+
+
+def test_reshard_places_data():
+  mesh = parallel.make_mesh()
+  x = np.arange(16, dtype=np.float32).reshape(16, 1)
+  sharded = parallel.reshard(x, parallel.batch_sharding(mesh))
+  assert sharded.sharding.spec == P(("data",))
+  np.testing.assert_array_equal(np.asarray(sharded), x)
+
+
+def test_batch_sharded_psum_matches_local():
+  """Data-parallel mean under jit equals the host-computed mean."""
+  mesh = parallel.make_mesh()
+  x = np.arange(64, dtype=np.float32)
+  xg = parallel.reshard(x, parallel.batch_sharding(mesh))
+  mean = jax.jit(jnp.mean)(xg)
+  assert float(mean) == x.mean()
+
+
+def test_gather_metrics_single_process():
+  out = parallel.gather_metrics(jnp.asarray(3.5))
+  assert out == 3.5
+
+
+def test_tensor_parallel_rules():
+  mesh = parallel.make_mesh(data=4, tensor=2)
+  tree = {
+      "Encoder": {"query": {"kernel": jax.ShapeDtypeStruct(
+          (768, 768), jnp.float32)}},
+      "bias_tree": {"bias": jax.ShapeDtypeStruct((768,), jnp.float32)},
+  }
+  sh = parallel.infer_sharding(tree, mesh, "tensor_parallel")
+  assert sh["Encoder"]["query"]["kernel"].spec == P(None, "tensor")
+  assert sh["bias_tree"]["bias"].spec == P()
