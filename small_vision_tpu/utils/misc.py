@@ -25,21 +25,21 @@ def itstime(step, every_n_steps, total_steps, host=None, last=True,
   the final step when `last`, on step 1 when `first`, and skip a periodic hit
   that lands within `drop_close_to_last * every_n_steps` of the end.
   """
-  if every_n_steps is None:
+  if not every_n_steps:
     return False
   if host is not None and jax.process_index() != host:
     return False
 
-  is_last = total_steps is not None and step == total_steps
+  # Skip periodic hits that land within drop_close_to_last*every_n of the end
+  # (e.g. don't checkpoint 2 steps before the final checkpoint).
+  close_to_last = bool(
+      drop_close_to_last and
+      abs(step - total_steps) < drop_close_to_last * every_n_steps)
+
+  is_periodic = step % every_n_steps == 0 and not close_to_last
+  is_last = step == total_steps
   is_first = step == 1
-
-  is_periodic = every_n_steps and step % every_n_steps == 0
-  if (is_periodic and last and total_steps is not None and drop_close_to_last
-      and (total_steps - step) < drop_close_to_last * every_n_steps
-      and not is_last):
-    is_periodic = False
-
-  return bool((last and is_last) or (first and is_first) or is_periodic)
+  return bool(is_periodic or (last and is_last) or (first and is_first))
 
 
 def hms(seconds: float) -> str:

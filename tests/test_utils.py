@@ -80,7 +80,8 @@ def test_itstime():
   assert not itstime(101, 100, 1000)
   assert itstime(1000, 300, 1000)          # last step
   assert itstime(1, 300, 1000)             # first step
-  assert not itstime(900, 300, 1000)       # periodic hit close to last
+  assert not itstime(980, 50, 1000)        # periodic hit too close to last
+  assert itstime(980, 50, 1000, drop_close_to_last=0)
   assert not itstime(5, None, 1000)
 
 
