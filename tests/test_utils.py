@@ -80,8 +80,8 @@ def test_itstime():
   assert not itstime(101, 100, 1000)
   assert itstime(1000, 300, 1000)          # last step
   assert itstime(1, 300, 1000)             # first step
-  assert not itstime(980, 50, 1000)        # periodic hit too close to last
-  assert itstime(980, 50, 1000, drop_close_to_last=0)
+  assert not itstime(950, 50, 960)         # periodic hit too close to last
+  assert itstime(950, 50, 960, drop_close_to_last=0)
   assert not itstime(5, None, 1000)
 
 
