@@ -1,0 +1,212 @@
+"""The unified masked-diffusion auto-encoder (UMD).
+
+Parity target: /root/reference/big_vision/models/ae.py — one ViT
+encoder-decoder that covers MAE (t=0, high mask), DiT (no mask, noised
+input), MaskDiT, and UMD, with AdaLN-zero or in-context conditioning on
+(timestep ⊕ label), MAE-style random masking in the encoder, mask-token
+scatter in the decoder, 4 averaged class tokens as the representation, a
+dual-head output predicting [x0 ‖ eps], and classifier-free-guidance
+double-batch inference.
+
+TPU-first deviations:
+  - matmul dtype defaults to bfloat16 (reference: float32);
+  - unpatchify is a Dense + reshape instead of ConvTranspose — identical
+    function for VALID/stride=patch, and it feeds the MXU directly;
+  - timesteps are (B,) int32 (reference carries (B,1)).
+
+RNG streams: "mae_noise" (masking), "cfg" (label dropout), "dropout",
+"params".
+"""
+
+from typing import Optional, Sequence
+
+import einops
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from small_vision_tpu.models.embeddings import (CondTrunk, LabelEmbed,
+                                                TimestepEmbed)
+from small_vision_tpu.models.vit import Encoder
+from small_vision_tpu.ops.masking import (random_masking, restore_masked,
+                                          sequence_mask_to_image_mask)
+
+
+class _ViTAE(nn.Module):
+  num_classes: Optional[int] = None  # Set for class-conditional finetuning.
+  channels: int = 3
+  img_size: int = 64
+  patch_size: Sequence[int] = (4, 4)
+  width: int = 768
+  depth: int = 12
+  dec_depth: int = 4
+  mlp_dim: Optional[int] = None  # Defaults to 4x width.
+  num_heads: int = 12
+  dropout: float = 0.0
+  scan: bool = True
+  remat_policy: str = "nothing_saveable"
+  dtype_mm: str = "bfloat16"
+  adaln: bool = False
+  cfg_dropout_rate: float = 0.1
+  num_cls: int = 4
+  attn_impl: str = "xla"
+  no_decay_list: Sequence[str] = ("cls", "mask_token", "bias")
+
+  def setup(self):
+    p = self.patch_size[0]
+    self.grid = self.img_size // p
+    num_patches = self.grid * self.grid
+
+    self.time_embed = TimestepEmbed(self.width, dtype=self.dtype_mm)
+    self.time_trunk = CondTrunk(self.width, 2)
+    if self.num_classes is not None:
+      self.label_embed = LabelEmbed(
+          width=self.width, num_classes=self.num_classes,
+          class_dropout_prob=self.cfg_dropout_rate)
+      self.label_trunk = CondTrunk(self.width, 2)
+
+    self.cls = self.param("cls", nn.initializers.zeros,
+                          (1, self.num_cls, self.width), jnp.float32)
+    self.patch_embed = nn.Conv(
+        self.width, self.patch_size, strides=self.patch_size,
+        padding="VALID", name="embedding", dtype=self.dtype_mm)
+    posemb_init = nn.initializers.normal(stddev=1 / np.sqrt(num_patches))
+    self.posemb = self.param("pos_embedding", posemb_init,
+                             (1, num_patches, self.width), jnp.float32)
+    self.dec_posemb = self.param("dec_pos_embedding", posemb_init,
+                                 (1, num_patches, self.width), jnp.float32)
+    self.mask_token = self.param(
+        "mask_token", nn.initializers.normal(stddev=0.02),
+        (1, 1, self.width))
+
+    enc_dec_kw = dict(
+        num_heads=self.num_heads, mlp_dim=self.mlp_dim,
+        dropout=self.dropout, scan=self.scan,
+        remat_policy=self.remat_policy, dtype_mm=self.dtype_mm,
+        adaln=self.adaln, attn_impl=self.attn_impl)
+    self.encoder = Encoder(depth=self.depth, name="Encoder", **enc_dec_kw)
+    self.decoder = Encoder(depth=self.dec_depth, name="Decoder", **enc_dec_kw)
+
+    if self.adaln:
+      self.final_modulation = nn.Dense(
+          self.width * 2, kernel_init=nn.initializers.zeros,
+          name="final_modulation", dtype=self.dtype_mm)
+    # Dense unpatchify to the dual [x0 ‖ eps] head (2*channels per pixel).
+    self.head = nn.Dense(
+        p * p * self.channels * 2, name="head",
+        kernel_init=nn.initializers.normal(0.02), dtype=self.dtype_mm)
+
+  def embed(self, image, t=None, y=None, train=False):
+    """Patchify + build the conditioning vector from (t, y)."""
+    image = jnp.asarray(image, self.dtype_mm)
+    x = self.patch_embed(image)
+    n = x.shape[0]
+    x = x.reshape(n, -1, self.width)
+
+    if t is None:
+      t = jnp.zeros((n,), jnp.int32)  # t=0 ≡ "no noise" / unconditional time
+    time_cond = self.time_trunk(self.time_embed(t, train=train), train=train)
+
+    if self.num_classes is not None:
+      if y is None:
+        y = jnp.full((n,), self.num_classes, jnp.int32)  # null class
+      y_cond = self.label_trunk(
+          self.label_embed(y, train=train), train=train)
+    else:
+      assert y is None, "y given but model has num_classes=None"
+      y_cond = jnp.zeros((n, self.width), self.dtype_mm)
+
+    cond = time_cond + y_cond
+    if self.adaln:
+      cond = nn.silu(cond)
+    return x, cond
+
+  def encode(self, x, cond, *, mask=0.0, train=False):
+    out = {}
+    n = x.shape[0]
+    x = x + self.posemb
+
+    if mask > 0.0:
+      x, seq_mask, ids_restore = random_masking(
+          x, mask, self.make_rng("mae_noise"))
+      out["mask"] = sequence_mask_to_image_mask(
+          seq_mask, self.patch_size[0], self.img_size)
+    else:
+      ids_restore = None
+      out["mask"] = None
+
+    x = jnp.concatenate(
+        [jnp.tile(self.cls.astype(x.dtype), [n, 1, 1]), x], axis=1)
+    x = self.encoder(x, cond=cond, deterministic=not train)
+    rep = x[:, :self.num_cls].mean(axis=1)  # averaged class tokens
+    out["pre_logits"] = rep
+    return rep, x[:, self.num_cls:], ids_restore, out
+
+  def decode(self, rep, x, cond, ids_restore=None, train=False):
+    n = x.shape[0]
+    if ids_restore is not None:
+      x = restore_masked(x, self.mask_token, ids_restore)
+
+    x = x + self.dec_posemb
+    x = jnp.concatenate([rep[:, None, :], x], axis=1)  # rep token prepended
+    x = self.decoder(x, cond=cond, deterministic=not train)
+    x = x[:, 1:, :]
+
+    if self.adaln:
+      shift, scale = jnp.split(self.final_modulation(cond), 2, axis=-1)
+      x = x * (1 + scale[:, None, :]) + shift[:, None, :]
+
+    x = self.head(x)  # (n, L, p*p*2c)
+    p = self.patch_size[0]
+    return einops.rearrange(
+        x, "n (gh gw) (ph pw c) -> n (gh ph) (gw pw) c",
+        gh=self.grid, gw=self.grid, ph=p, pw=p).astype(jnp.float32)
+
+  def __call__(self, image, *, t=None, y=None, cfg_scale=None, mask=0.0,
+               train=False):
+    """Full forward. Returns (pred, out) with pred = [x0_hat ‖ eps_hat].
+
+    `cfg_scale`: classifier-free guidance at inference — the batch is doubled
+    with null labels and the prediction extrapolated cond→uncond.
+    """
+    if cfg_scale is not None:
+      assert y is not None and self.num_classes is not None
+      assert not train, "cfg_scale is inference-only"
+      n = image.shape[0]
+      image = jnp.concatenate([image, image], axis=0)
+      t = jnp.concatenate([t, t], axis=0)
+      null_y = jnp.full((n,), self.num_classes, jnp.int32)
+      y = jnp.concatenate([y, null_y], axis=0)
+
+    x, cond = self.embed(image, t=t, y=y, train=train)
+    rep, encoded, ids_restore, out = self.encode(
+        x, cond, mask=mask, train=train)
+    pred = self.decode(rep, encoded, cond, ids_restore=ids_restore,
+                       train=train)
+
+    if cfg_scale is not None:
+      conditional, unconditional = jnp.split(pred, 2, axis=0)
+      pred = unconditional + cfg_scale * (conditional - unconditional)
+
+    return pred, out
+
+
+def decode_variant(variant):
+  """UMD variant table: "B/4" → dims (MAE-style decoder depth scaling)."""
+  if variant is None:
+    return {}
+  v, patch = variant, {}
+  if "/" in variant:
+    v, p = variant.split("/")
+    patch = {"patch_size": (int(p), int(p))}
+  return {
+      "width": {"S": 384, "B": 768, "L": 1024}[v],
+      "depth": {"S": 12, "B": 12, "L": 24}[v],
+      "dec_depth": {"S": 4, "B": 4, "L": 8}[v],
+      "num_heads": {"S": 6, "B": 12, "L": 16}[v],
+      **patch,
+  }
+
+
+def Model(*, variant=None, **kw):  # noqa: N802 (factory, reference parity)
+  return _ViTAE(**{**decode_variant(variant), **kw})

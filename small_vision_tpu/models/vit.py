@@ -1,0 +1,333 @@
+"""ViT encoder blocks with AdaLN-zero conditioning, plus a ViT classifier.
+
+Parity target: /root/reference/big_vision/models/vit.py — `modulate` (:13),
+sincos posembs (:18), MlpBlock (:39), Encoder1DBlock with AdaLN-zero 6-way
+modulation or in-context token conditioning (:60-113), scan+remat Encoder
+(:115-163), MAPHead (:165), the standalone classifier (:187-274), variant
+table (:280), and hi-res posemb resampling (:301).
+
+TPU-first deviations from the reference:
+  - Matmul dtype defaults to bfloat16 (the reference computes in float32 —
+    ae.py:51); params and LayerNorm stay float32.
+  - Attention is our own q/k/v module wired to `ops.attention` so the fused
+    Pallas path can be toggled per-model (`attn_impl="pallas"`).
+  - Sharding constraints use `parallel.ctx.constrain` (explicit mesh axes)
+    instead of flax logical-axis rules.
+"""
+
+from typing import Any, Optional, Sequence, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from small_vision_tpu.ops.attention import attention
+from small_vision_tpu.parallel.ctx import constrain
+
+
+def modulate(x, shift, scale):
+  """AdaLN modulation; shift/scale are (B, D), x is (B, L, D)."""
+  return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
+
+
+def posemb_sincos_2d(h, w, width, temperature=10_000., dtype=jnp.float32):
+  """Fixed 2-D sincos position embedding (MoCo-v3 convention)."""
+  assert width % 4 == 0, "Width must be mult of 4 for sincos posemb"
+  y, x = jnp.mgrid[:h, :w]
+  omega = jnp.arange(width // 4) / (width // 4 - 1)
+  omega = 1. / (temperature ** omega)
+  y = jnp.einsum("m,d->md", y.flatten(), omega)
+  x = jnp.einsum("m,d->md", x.flatten(), omega)
+  pe = jnp.concatenate([jnp.sin(x), jnp.cos(x), jnp.sin(y), jnp.cos(y)],
+                       axis=1)
+  return jnp.asarray(pe, dtype)[None]
+
+
+def get_posemb(module, typ, seqshape, width, name, dtype=jnp.float32):
+  if typ == "learn":
+    return module.param(
+        name, nn.initializers.normal(stddev=1 / np.sqrt(width)),
+        (1, int(np.prod(seqshape)), width), dtype)
+  if typ == "sincos2d":
+    return posemb_sincos_2d(*seqshape, width, dtype=dtype)
+  raise ValueError(f"Unknown posemb type: {typ}")
+
+
+class MlpBlock(nn.Module):
+  """Transformer feed-forward block (Dense → gelu → Dense)."""
+  mlp_dim: Optional[int] = None  # Defaults to 4x input width.
+  dropout: float = 0.0
+  dtype_mm: str = "bfloat16"
+
+  @nn.compact
+  def __call__(self, x, deterministic=True):
+    inits = dict(kernel_init=nn.initializers.xavier_uniform(),
+                 bias_init=nn.initializers.normal(stddev=1e-6))
+    d = x.shape[-1]
+    x = nn.Dense(self.mlp_dim or 4 * d, dtype=self.dtype_mm, **inits)(x)
+    x = nn.gelu(x)
+    x = nn.Dropout(rate=self.dropout)(x, deterministic)
+    return nn.Dense(d, dtype=self.dtype_mm, **inits)(x)
+
+
+class MultiHeadAttention(nn.Module):
+  """Self-attention with explicit q/k/v/out projections.
+
+  Param layout matches flax MHA (kernel shapes (d, heads, head_dim)) so
+  tensor-parallel regex rules and checkpoint tooling see standard names.
+  """
+  num_heads: int
+  dtype_mm: str = "bfloat16"
+  attn_impl: str = "xla"  # "xla" | "pallas" | "pallas_interpret"
+
+  @nn.compact
+  def __call__(self, x):
+    d = x.shape[-1]
+    assert d % self.num_heads == 0
+    head_dim = d // self.num_heads
+    proj = lambda name: nn.DenseGeneral(
+        features=(self.num_heads, head_dim), axis=-1, name=name,
+        kernel_init=nn.initializers.xavier_uniform(), dtype=self.dtype_mm)
+    q, k, v = proj("query")(x), proj("key")(x), proj("value")(x)
+
+    o = attention(q, k, v,
+                  use_pallas=self.attn_impl.startswith("pallas"),
+                  interpret=self.attn_impl == "pallas_interpret")
+
+    return nn.DenseGeneral(
+        features=d, axis=(-2, -1), name="out",
+        kernel_init=nn.initializers.xavier_uniform(),
+        dtype=self.dtype_mm)(o)
+
+
+class Block(nn.Module):
+  """Pre-LN transformer block, optionally AdaLN-zero conditioned.
+
+  With `adaln`: a zero-init Dense maps the conditioning vector to 6
+  modulation vectors (shift/scale/gate for attention and MLP sub-blocks), so
+  at init the block is an identity residual (DiT's AdaLN-zero discipline —
+  load-bearing for training stability).
+  Without `adaln` but with cond: the conditioning vector joins the sequence
+  as an extra token (in-context conditioning) and is stripped after.
+  """
+  mlp_dim: Optional[int] = None
+  num_heads: int = 12
+  dropout: float = 0.0
+  adaln: bool = False
+  dtype_mm: str = "bfloat16"
+  attn_impl: str = "xla"
+
+  @nn.compact
+  def __call__(self, x, cond=None, deterministic=True):
+    use_adaln = cond is not None and self.adaln
+    if use_adaln:
+      mods = nn.Dense(6 * x.shape[-1], kernel_init=nn.initializers.zeros,
+                      dtype=self.dtype_mm)(cond)
+      (shift_a, scale_a, gate_a,
+       shift_m, scale_m, gate_m) = jnp.split(mods, 6, axis=-1)
+    elif cond is not None:
+      x = jnp.concatenate([cond[:, None, :], x], axis=1)
+
+    x = constrain(x, "batch", None, "embed")
+    y = nn.LayerNorm()(x)
+    if use_adaln:
+      y = modulate(y, shift_a, scale_a)
+    y = MultiHeadAttention(num_heads=self.num_heads, dtype_mm=self.dtype_mm,
+                           attn_impl=self.attn_impl)(y)
+    if use_adaln:
+      y = gate_a[:, None, :] * y
+    y = constrain(y, "batch", None, "embed")
+    y = nn.Dropout(rate=self.dropout)(y, deterministic)
+    x = x + y
+
+    y = nn.LayerNorm()(x)
+    if use_adaln:
+      y = modulate(y, shift_m, scale_m)
+    y = MlpBlock(mlp_dim=self.mlp_dim, dropout=self.dropout,
+                 dtype_mm=self.dtype_mm)(y, deterministic)
+    if use_adaln:
+      y = gate_m[:, None, :] * y
+    y = nn.Dropout(rate=self.dropout)(y, deterministic)
+    x = x + y
+    x = constrain(x, "batch", None, "embed")
+
+    if cond is not None and not self.adaln:
+      x = x[:, 1:]
+    # (carry, ys) pair: required by nn.scan over the depth dimension.
+    return x, ()
+
+
+class Encoder(nn.Module):
+  """Stack of Blocks; `scan=True` compiles one block program iterated with
+  lax.scan + rematerialization (remat policy configurable)."""
+  depth: int
+  mlp_dim: Optional[int] = None
+  num_heads: int = 12
+  dropout: float = 0.0
+  scan: bool = False
+  adaln: bool = False
+  remat_policy: str = "nothing_saveable"
+  dtype_mm: str = "bfloat16"
+  attn_impl: str = "xla"
+
+  @nn.compact
+  def __call__(self, x, cond=None, deterministic=True):
+    kw = dict(mlp_dim=self.mlp_dim, num_heads=self.num_heads,
+              dropout=self.dropout, adaln=self.adaln,
+              dtype_mm=self.dtype_mm, attn_impl=self.attn_impl)
+    if self.scan:
+      block_cls = nn.remat(
+          Block,
+          prevent_cse=False,
+          static_argnums=(-1,),  # deterministic
+          policy=getattr(jax.checkpoint_policies, self.remat_policy, None))
+      x, _ = nn.scan(
+          block_cls,
+          variable_axes={"params": 0},
+          split_rngs={"params": True, "dropout": True},
+          in_axes=nn.broadcast,
+          length=self.depth,
+          metadata_params={nn.PARTITION_NAME: None},
+      )(**kw, name="blocks")(x, cond, deterministic)
+    else:
+      for i in range(self.depth):
+        x, _ = Block(**kw, name=f"blocks_{i:02d}")(x, cond, deterministic)
+    return nn.LayerNorm(name="encoder_norm")(x)
+
+
+class MAPHead(nn.Module):
+  """Multihead attention pooling head for the classifier."""
+  mlp_dim: Optional[int] = None
+  num_heads: int = 12
+
+  @nn.compact
+  def __call__(self, x):
+    n, _, d = x.shape
+    probe = self.param("probe", nn.initializers.xavier_uniform(), (1, 1, d),
+                       x.dtype)
+    probe = jnp.tile(probe, [n, 1, 1])
+    x = nn.MultiHeadDotProductAttention(
+        num_heads=self.num_heads,
+        kernel_init=nn.initializers.xavier_uniform())(probe, x)
+    y = nn.LayerNorm()(x)
+    x = x + MlpBlock(mlp_dim=self.mlp_dim, dtype_mm="float32")(y)
+    return x[:, 0]
+
+
+class _ViT(nn.Module):
+  """Plain ViT classifier (reference vit.py:187-274) — used by FID's
+  inception stand-ins, linear-probe baselines, and as a zoo model."""
+  num_classes: Optional[int] = None
+  patch_size: Sequence[int] = (16, 16)
+  width: int = 768
+  depth: int = 12
+  mlp_dim: Optional[int] = None
+  num_heads: int = 12
+  posemb: str = "learn"
+  rep_size: Union[int, bool] = False
+  dropout: float = 0.0
+  pool_type: str = "gap"  # "map" | "gap" | "0" | "tok"
+  head_zeroinit: bool = True
+  scan: bool = False
+  remat_policy: str = "nothing_saveable"
+  dtype_mm: str = "bfloat16"
+  attn_impl: str = "xla"
+
+  @nn.compact
+  def __call__(self, image, *, train=False):
+    out = {}
+    image = jnp.asarray(image, self.dtype_mm)
+    x = out["stem"] = nn.Conv(
+        self.width, self.patch_size, strides=self.patch_size,
+        padding="VALID", name="embedding", dtype=self.dtype_mm)(image)
+    n, h, w, c = x.shape
+    x = jnp.reshape(x, [n, h * w, c])
+
+    x = out["with_posemb"] = x + get_posemb(
+        self, self.posemb, (h, w), c, "pos_embedding", x.dtype)
+
+    if self.pool_type == "tok":
+      cls = self.param("cls", nn.initializers.zeros, (1, 1, c), x.dtype)
+      x = jnp.concatenate([jnp.tile(cls, [n, 1, 1]), x], axis=1)
+
+    x = nn.Dropout(rate=self.dropout)(x, not train)
+    x = Encoder(
+        depth=self.depth, mlp_dim=self.mlp_dim, num_heads=self.num_heads,
+        dropout=self.dropout, scan=self.scan,
+        remat_policy=self.remat_policy, dtype_mm=self.dtype_mm,
+        attn_impl=self.attn_impl, name="Transformer")(
+            x, deterministic=not train)
+    encoded = out["encoded"] = x
+
+    if self.pool_type == "map":
+      x = out["head_input"] = MAPHead(
+          num_heads=self.num_heads, mlp_dim=self.mlp_dim)(x)
+    elif self.pool_type == "gap":
+      x = out["head_input"] = jnp.mean(x, axis=1)
+    elif self.pool_type in ("0", "tok"):
+      x = out["head_input"] = x[:, 0]
+      if self.pool_type == "tok":
+        encoded = encoded[:, 1:]
+    else:
+      raise ValueError(f"Unknown pool type: '{self.pool_type}'")
+
+    x_2d = jnp.reshape(encoded, [n, h, w, -1])
+
+    if self.rep_size:
+      rep_size = self.width if self.rep_size is True else self.rep_size
+      hid = nn.Dense(rep_size, name="pre_logits")
+      x_2d = nn.tanh(hid(x_2d))
+      x = nn.tanh(hid(x))
+
+    out["pre_logits_2d"] = x_2d
+    out["pre_logits"] = x
+
+    if self.num_classes:
+      kw = {"kernel_init": nn.initializers.zeros} if self.head_zeroinit else {}
+      head = nn.Dense(self.num_classes, name="head", **kw)
+      out["logits_2d"] = head(x_2d)
+      x = out["logits"] = head(x)
+
+    return x, out
+
+
+def decode_variant(variant):
+  """Decodes "B/16"-style variant strings into ViT dims (std. table)."""
+  if variant is None:
+    return {}
+  v, patch = variant, {}
+  if "/" in variant:
+    v, p = variant.split("/")
+    patch = {"patch_size": (int(p), int(p))}
+  return {
+      "width": {"mu": 32, "Ti": 192, "S": 384, "M": 512, "B": 768,
+                "L": 1024, "H": 1280, "g": 1408, "G": 1664}[v],
+      "depth": {"mu": 1, "Ti": 12, "S": 12, "M": 12, "B": 12,
+                "L": 24, "H": 32, "g": 40, "G": 48}[v],
+      "mlp_dim": {"mu": 128, "Ti": 768, "S": 1536, "M": 2048, "B": 3072,
+                  "L": 4096, "H": 5120, "g": 6144, "G": 8192}[v],
+      "num_heads": {"mu": 2, "Ti": 3, "S": 6, "M": 8, "B": 12,
+                    "L": 16, "H": 16, "g": 16, "G": 16}[v],
+      **patch,
+  }
+
+
+def ViT(num_classes=None, *, variant=None, **kw):  # noqa: N802
+  return _ViT(num_classes, **{**decode_variant(variant), **kw})
+
+
+Model = ViT  # Factory alias for `models.get_model_module("vit").Model`.
+
+
+def resample_posemb(old, new):
+  """Bilinear posemb grid resize for hi-res finetuning."""
+  import scipy.ndimage
+  if old.shape == new.shape:
+    return old
+  gs_old = int(np.sqrt(old.shape[1]))
+  gs_new = int(np.sqrt(new.shape[1]))
+  grid = np.asarray(old).reshape(gs_old, gs_old, -1)
+  grid = scipy.ndimage.zoom(grid, (gs_new / gs_old, gs_new / gs_old, 1),
+                            order=1)
+  return jnp.asarray(grid.reshape(1, gs_new * gs_new, -1), old.dtype)

@@ -1,0 +1,122 @@
+"""Model tests: UMD AE forward shapes, conditioning modes, CFG, variants."""
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from small_vision_tpu.models import ae as ae_mod
+from small_vision_tpu.models import vit as vit_mod
+
+TINY = dict(width=64, depth=2, dec_depth=1, num_heads=4, img_size=16,
+            patch_size=(4, 4), dtype_mm="float32")
+
+
+def _init_and_apply(model, rng=0, bs=2, img=16, ch=3, **apply_kw):
+  x = jax.random.normal(jax.random.PRNGKey(rng), (bs, img, img, ch))
+  t = jnp.zeros((bs,), jnp.int32)
+  rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+          "mae_noise": jax.random.PRNGKey(2), "cfg": jax.random.PRNGKey(3)}
+  params = model.init(rngs, x, t=t, train=True, mask=0.5)["params"]
+  out = model.apply({"params": params}, x, t=t,
+                    rngs={k: v for k, v in rngs.items() if k != "params"},
+                    **apply_kw)
+  return params, out
+
+
+@pytest.mark.parametrize("adaln", [False, True])
+@pytest.mark.parametrize("scan", [False, True])
+def test_ae_forward_shapes(adaln, scan):
+  model = ae_mod._ViTAE(adaln=adaln, scan=scan, **TINY)
+  params, (pred, out) = _init_and_apply(model, mask=0.5, train=True)
+  assert pred.shape == (2, 16, 16, 6)       # [x0 | eps] dual head
+  assert out["mask"].shape == (2, 16, 16, 1)
+  assert out["pre_logits"].shape == (2, 64)
+  assert np.isfinite(np.asarray(pred)).all()
+
+
+def test_ae_no_mask_path():
+  model = ae_mod._ViTAE(adaln=True, scan=False, **TINY)
+  _, (pred, out) = _init_and_apply(model, mask=0.0)
+  assert out["mask"] is None
+  assert pred.shape == (2, 16, 16, 6)
+
+
+def test_ae_scan_and_loop_same_param_count():
+  def n_params(m):
+    x = jnp.zeros((1, 16, 16, 3))
+    rngs = {"params": jax.random.PRNGKey(0),
+            "mae_noise": jax.random.PRNGKey(1)}
+    p = m.init(rngs, x, t=jnp.zeros((1,), jnp.int32), train=False, mask=0.0)
+    return sum(x.size for x in jax.tree.leaves(p))
+  a = n_params(ae_mod._ViTAE(scan=False, **TINY))
+  b = n_params(ae_mod._ViTAE(scan=True, **TINY))
+  assert a == b
+
+
+def test_ae_class_conditional_and_cfg():
+  model = ae_mod._ViTAE(num_classes=10, adaln=True, scan=False, **TINY)
+  bs = 4
+  x = jax.random.normal(jax.random.PRNGKey(0), (bs, 16, 16, 3))
+  t = jnp.ones((bs,), jnp.int32)
+  y = jnp.arange(bs) % 10
+  rngs = {"params": jax.random.PRNGKey(0), "cfg": jax.random.PRNGKey(3),
+          "mae_noise": jax.random.PRNGKey(2),
+          "dropout": jax.random.PRNGKey(1)}
+  params = model.init(rngs, x, t=t, y=y, train=True, mask=0.5)["params"]
+
+  # CFG double-batch forward: output batch must be bs (not 2*bs).
+  pred, _ = model.apply({"params": params}, x, t=t, y=y, cfg_scale=2.0)
+  assert pred.shape == (bs, 16, 16, 6)
+
+  # cfg_scale=1.0 must equal the plain conditional forward.
+  pred1, _ = model.apply({"params": params}, x, t=t, y=y, cfg_scale=1.0)
+  predc, _ = model.apply({"params": params}, x, t=t, y=y)
+  np.testing.assert_allclose(np.asarray(pred1), np.asarray(predc),
+                             rtol=2e-4, atol=2e-5)
+
+
+def test_ae_adaln_zero_init_identity():
+  """With AdaLN-zero, gates start at 0: blocks are identity at init, so the
+  encoder output equals the LayerNorm of the embedded input."""
+  model = ae_mod._ViTAE(adaln=True, scan=False, **TINY)
+  params, (pred, _) = _init_and_apply(model, mask=0.0)
+  mods = params["Encoder"]["blocks_00"]["Dense_0"]["kernel"]
+  assert float(jnp.abs(mods).max()) == 0.0
+  # Head is near-zero-init (normal 0.02) but final_modulation is exact zero.
+  assert float(jnp.abs(
+      params["final_modulation"]["kernel"]).max()) == 0.0
+
+
+def test_ae_variants():
+  assert ae_mod.decode_variant("B/4") == {
+      "width": 768, "depth": 12, "dec_depth": 4, "num_heads": 12,
+      "patch_size": (4, 4)}
+  assert ae_mod.decode_variant("L/2")["dec_depth"] == 8
+  m = ae_mod.Model(variant="S/8", img_size=32)
+  assert m.width == 384 and m.patch_size == (8, 8)
+
+
+def test_vit_classifier_forward():
+  model = vit_mod._ViT(num_classes=10, width=64, depth=2, num_heads=4,
+                       patch_size=(8, 8), pool_type="gap",
+                       dtype_mm="float32")
+  x = jnp.zeros((2, 32, 32, 3))
+  params = model.init(jax.random.PRNGKey(0), x)["params"]
+  logits, out = model.apply({"params": params}, x)
+  assert logits.shape == (2, 10)
+  assert out["pre_logits"].shape == (2, 64)
+  # head_zeroinit → logits all zero at init.
+  np.testing.assert_array_equal(np.asarray(logits), 0.0)
+
+
+def test_timestep_embedding_distinct():
+  from small_vision_tpu.models.embeddings import TimestepEmbed
+  emb = TimestepEmbed(32)
+  p = emb.init(jax.random.PRNGKey(0), jnp.zeros((2,), jnp.int32))
+  e0 = emb.apply(p, jnp.asarray([0, 0]))
+  e5 = emb.apply(p, jnp.asarray([5, 900]))
+  assert e0.shape == (2, 32)
+  assert not np.allclose(np.asarray(e5)[0], np.asarray(e5)[1])
+  np.testing.assert_allclose(np.asarray(e0)[0], np.asarray(e0)[1])
