@@ -1,0 +1,57 @@
+"""Random-access array-backed source: .npy/.npz memmaps on disk.
+
+TPU-native shuffle story (SURVEY.md §7 risk item): instead of the
+reference's 120 GB tf.data RAM cache + 250k shuffle buffer
+(configs/ae_i1k.py:61-62), a random-access memmap + a per-epoch index
+permutation gives exact global shuffling at zero RAM cost.
+
+Layout: `{root}/images.npy` (N,H,W,C) uint8 memmap and optional
+`{root}/labels.npy` (N,) int. Use `write_arrays()` to build one.
+"""
+
+import os
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+from small_vision_tpu.data import core
+
+
+def write_arrays(root: str, images: np.ndarray,
+                 labels: Optional[np.ndarray] = None):
+  os.makedirs(root, exist_ok=True)
+  np.save(os.path.join(root, "images.npy"), images)
+  if labels is not None:
+    np.save(os.path.join(root, "labels.npy"), labels)
+
+
+class DataSource(core.DataSource):
+
+  def __init__(self, *, root: str, split: str = "train", split_frac=None):
+    self.images = np.load(os.path.join(root, "images.npy"), mmap_mode="r")
+    labels_path = os.path.join(root, "labels.npy")
+    self.labels = (np.load(labels_path, mmap_mode="r")
+                   if os.path.exists(labels_path) else None)
+    n = self.images.shape[0]
+    # Optional fractional split, e.g. split_frac=(0.0, 0.99) for train[:99%].
+    lo, hi = split_frac if split_frac else (0.0, 1.0)
+    self._lo, self._hi = int(n * lo), int(n * hi)
+    del split
+
+  @property
+  def total_examples(self) -> int:
+    return self._hi - self._lo
+
+  def examples(self, *, ordered: bool = False, seed: int = 0,
+               epoch: int = 0) -> Iterator[dict]:
+    per_proc = self.total_examples // jax.process_count()
+    start = self._lo + jax.process_index() * per_proc
+    idx = np.arange(start, start + per_proc)
+    if not ordered:
+      np.random.default_rng((seed, epoch)).shuffle(idx)
+    for i in idx:
+      ex = {"image": np.asarray(self.images[i]), "_id": np.int64(i)}
+      if self.labels is not None:
+        ex["label"] = np.int64(self.labels[i])
+      yield ex

@@ -1,0 +1,54 @@
+"""Data-source API.
+
+Parity target: /root/reference/big_vision/datasets/core.py — a `DataSource`
+ABC with per-process splitting and a `get(name)` dispatcher. TPU-first
+difference: sources are plain-Python iterables of numpy example dicts (no
+tf.data graph); randomness/sharding is index-based so any random-access
+source gets global shuffling without a 250k-element shuffle buffer.
+"""
+
+import abc
+import importlib
+from typing import Iterator
+
+import jax
+
+
+class DataSource(abc.ABC):
+  """A (restartable) source of example dicts for one process's shard."""
+
+  @abc.abstractmethod
+  def examples(self, *, ordered: bool = False, seed: int = 0,
+               epoch: int = 0) -> Iterator[dict]:
+    """Yields this process's examples; shuffled per (seed, epoch) unless
+    ordered."""
+
+  @property
+  @abc.abstractmethod
+  def total_examples(self) -> int:
+    """Global number of examples across all processes."""
+
+  @property
+  def num_examples_per_process(self) -> int:
+    return self.total_examples // jax.process_count()
+
+
+def get(name: str, **kw) -> DataSource:
+  """Dispatches `name` to a source module.
+
+  Names: "synthetic" (tests/bench), "tfds" (gated on tensorflow_datasets),
+  "arrays" (npy/memmap folders), or "mod:<module>" for custom modules.
+  """
+  if name.startswith("mod:"):
+    module = importlib.import_module(name[4:])
+    return module.DataSource(**kw)
+  known = {"synthetic": "small_vision_tpu.data.synthetic",
+           "tfds": "small_vision_tpu.data.tfds_source",
+           "arrays": "small_vision_tpu.data.arrays"}
+  # Dataset names like "imagenet2012" route to the TFDS source, matching the
+  # reference's config strings (configs/ae_i1k.py:56-58).
+  module_name = known.get(name, known["tfds"])
+  module = importlib.import_module(module_name)
+  if name not in known:
+    kw = {"name": name, **kw}
+  return module.DataSource(**kw)

@@ -1,0 +1,47 @@
+"""Synthetic image source for tests, smoke runs, and throughput benches.
+
+Generates a fixed pool of deterministic pseudo-random uint8 images + labels
+(keyed by example index), so epochs are reproducible and host-side cost is
+one memcpy per example — the device step dominates, as it should in a bench.
+"""
+
+from typing import Iterator
+
+import jax
+import numpy as np
+
+from small_vision_tpu.data import core
+
+
+class DataSource(core.DataSource):
+
+  def __init__(self, *, split: str = "train", img_size: int = 64,
+               channels: int = 3, num_classes: int = 1000,
+               num_examples: int = 50_000, pool: int = 2048, seed: int = 17):
+    self.img_size = img_size
+    self.channels = channels
+    self.num_classes = num_classes
+    self._total = num_examples
+    rng = np.random.default_rng(seed + (0 if split == "train" else 1))
+    pool = min(pool, num_examples)
+    self._images = rng.integers(
+        0, 256, (pool, img_size, img_size, channels), dtype=np.uint8)
+    self._pool = pool
+
+  @property
+  def total_examples(self) -> int:
+    return self._total
+
+  def examples(self, *, ordered: bool = False, seed: int = 0,
+               epoch: int = 0) -> Iterator[dict]:
+    per_proc = self.total_examples // jax.process_count()
+    start = jax.process_index() * per_proc
+    idx = np.arange(start, start + per_proc)
+    if not ordered:
+      np.random.default_rng((seed, epoch)).shuffle(idx)
+    for i in idx:
+      yield {
+          "image": self._images[i % self._pool],
+          "label": np.int64(i % self.num_classes),
+          "_id": np.int64(i),
+      }

@@ -1,0 +1,69 @@
+"""Composes `"fn1|fn2(…)"` pp strings into host and device pipeline fns.
+
+Parity target: /root/reference/big_vision/pp/builder.py:21-78, restructured
+for the TPU: one pp string compiles into
+
+  host_fn(example_dict)           — per-example numpy (decode/crop/resize)
+  device_fn(batch_dict, rng)      — ONE jitted program fusing every device
+                                    op (flip, value_range, onehot, …)
+
+The split point is automatic from each op's registered stage; ops may
+interleave in the string but all host ops must precede all device ops
+(raises otherwise — that ordering is what keeps the host side minimal).
+"""
+
+from typing import Callable, Optional, Tuple
+
+import jax
+
+from small_vision_tpu.pp.registry import Registry
+
+
+def split_spec(pp_spec: str):
+  """Splits a pp string into per-op spec strings, tolerating empty parts."""
+  return [tok.strip() for tok in (pp_spec or "").split("|") if tok.strip()]
+
+
+def get_preprocess_fn(pp_spec: str, log_name: Optional[str] = None
+                      ) -> Tuple[Callable, Optional[Callable]]:
+  """Builds (host_fn, device_fn) from a pp string.
+
+  host_fn: dict → dict, applied per example on the host.
+  device_fn: (dict, rng) → dict, a single fused jax fn over the batch, or
+    None when the string contains no device ops.
+  """
+  del log_name
+  host_ops, device_ops = [], []
+  for spec in split_spec(pp_spec):
+    fn, stage = Registry.lookup(spec)
+    if stage == "any":
+      stage = "device" if device_ops else "host"
+      if stage == "device":
+        fn = (lambda _f: lambda batch, rng: _f(batch))(fn)
+    if stage == "host":
+      if device_ops:
+        raise ValueError(
+            f"Host op {spec!r} appears after device ops in {pp_spec!r}; "
+            "order ops host-first.")
+      host_ops.append((spec, fn))
+    else:
+      device_ops.append((spec, fn))
+
+  def host_fn(data):
+    assert isinstance(data, dict), f"pp data must be dict, got {type(data)}"
+    for spec, fn in host_ops:
+      try:
+        data = fn(data)
+      except Exception as e:
+        raise RuntimeError(f"pp host op {spec!r} failed: {e}") from e
+    return data
+
+  device_fn = None
+  if device_ops:
+    def device_fn(batch, rng):
+      for spec, fn in device_ops:
+        rng, op_rng = jax.random.split(rng)
+        batch = fn(batch, op_rng)
+      return batch
+
+  return host_fn, device_fn

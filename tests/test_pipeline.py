@@ -1,0 +1,68 @@
+"""Input-pipeline tests: training iterator sharding, inference padding."""
+
+import jax
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from small_vision_tpu import parallel
+from small_vision_tpu.data import core as ds_core
+from small_vision_tpu.data import pipeline
+
+
+def _source(n=64, img=16):
+  return ds_core.get("synthetic", img_size=img, num_examples=n,
+                     num_classes=10)
+
+
+def test_training_iterator_batches_are_global_and_sharded():
+  mesh = parallel.make_mesh()
+  cfg = {"data": {"name": "synthetic", "img_size": 16, "num_examples": 64,
+                  "num_classes": 10},
+         "batch_size": 16,
+         "pp": 'value_range(-1, 1)|keep("image", "label")'}
+  it, device_pp, n = pipeline.training(cfg, mesh)
+  assert n == 64
+  batch = next(iter(it))
+  assert batch["image"].shape == (16, 16, 16, 3)
+  assert batch["image"].sharding.spec == P(("data",))
+  # Device pp applies under jit.
+  out = jax.jit(device_pp)(batch, jax.random.PRNGKey(0))
+  img = np.asarray(out["image"])
+  assert img.min() >= -1.001 and img.max() <= 1.001
+
+
+def test_training_iterator_is_infinite_and_reshuffles():
+  mesh = parallel.make_mesh()
+  it = pipeline.TrainIterator(
+      _source(32), "", mesh, 32, seed=0, num_workers=1)
+  gen = iter(it)
+  ids1 = np.asarray(next(gen)["_id"])
+  ids2 = np.asarray(next(gen)["_id"])  # second epoch
+  assert sorted(ids1) == sorted(ids2)          # same examples
+  assert not np.array_equal(ids1, ids2)        # different order
+
+
+def test_inference_padding_and_mask():
+  mesh = parallel.make_mesh()
+  # 40 examples, batch 16 → 3 steps, last one padded with 8 zeros.
+  iterate, _, n_steps = pipeline.make_for_inference(
+      _source(40), "", mesh, 16, num_workers=1)
+  assert n_steps == 3
+  batches = list(iterate())
+  assert len(batches) == 3
+  masks = np.concatenate([np.asarray(b["_mask"]) for b in batches])
+  assert masks.sum() == 40
+  assert np.asarray(batches[-1]["_mask"]).sum() == 8
+  # Padded rows are zero.
+  last_img = np.asarray(batches[-1]["image"])
+  assert (last_img[8:] == 0).all()
+
+
+def test_inference_covers_all_examples_once():
+  mesh = parallel.make_mesh()
+  iterate, _, _ = pipeline.make_for_inference(
+      _source(24), "", mesh, 8, num_workers=2)
+  ids = np.concatenate([
+      np.asarray(b["_id"])[np.asarray(b["_mask"]) > 0]
+      for b in iterate()])
+  assert sorted(ids.tolist()) == list(range(24))
