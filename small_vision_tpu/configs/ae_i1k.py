@@ -1,0 +1,157 @@
+"""THE training config: UMD/MAE/DiT/MaskDiT on ImageNet-1k.
+
+Parity target: /root/reference/big_vision/configs/ae_i1k.py — same arg spec
+and derived fields, so reference invocations carry over:
+
+  --config ae_i1k.py:variant=B/4,size=64,adaln=False,batch_size=4096
+  (MAE:  mask_ratio=0.75, no_noise_prob=1.0, adaln=False)
+  (DiT:  mask_ratio=0.0,  no_noise_prob=0.0)
+  (MaskDiT: mask_ratio=0.5, no_noise_prob=0.0)
+  (UMD:  defaults)
+
+Extra args vs the reference: `data` (synthetic|imagenet2012|arrays:<path>),
+`mesh_fsdp`, `attn_impl` — the TPU-native knobs.
+"""
+
+import ml_collections as mlc
+
+from small_vision_tpu.configs import common as cc
+from small_vision_tpu.configs.common_fewshot import get_fewshot_lsr
+
+
+def get_config(arg=None):
+  arg = cc.parse_arg(
+      arg, variant="B/4", scan=True, fsdp=False, batch_size=1024,
+      use_labels=False, mask_ratio=0.375, no_noise_prob=0.5,
+      mask_ratio_no_noise=0.75, finetune=False, lr=15e-5, wd=5e-2,
+      beta2=0.95, size=64, adaln=True, epochs=800, area_min=80,
+      use_preprocessed_latents=False, latent_diffusion=False, save_ckpt=True,
+      data="imagenet2012", attn_impl="xla", runlocal=False)
+
+  config = mlc.ConfigDict()
+  config.finetune = arg.finetune
+  config.size = arg.size
+  config.latent_diffusion = arg.latent_diffusion
+  if arg.latent_diffusion:
+    assert arg.size == 256, "Latent diffusion only supports 256x256 images"
+    config.diffusion_space = (32, 32, 4)
+    config.use_preprocessed_latents = arg.use_preprocessed_latents
+  else:
+    config.diffusion_space = (arg.size, arg.size, 3)
+  config.resize = int(arg.size * (256 / 246))
+  config.seed = 0
+  config.total_epochs = arg.epochs
+  if arg.use_labels:
+    config.num_classes = 1000
+    config.ema_decay = 0.0001 * (arg.batch_size / 256)
+  else:
+    config.num_classes = None
+  config.num_samples = 36
+  config.no_noise_prob = arg.no_noise_prob
+  config.mask_ratio = arg.mask_ratio
+  config.mask_ratio_no_noise = arg.mask_ratio_no_noise
+  config.batch_size = arg.batch_size
+  config.use_labels = arg.use_labels
+
+  config.diff_schedule = dict(
+      eta=1.0,
+      beta_schedule="linear" if arg.latent_diffusion else "cosine",
+      clip_denoised=not arg.latent_diffusion,
+      timesteps=1000,
+      sampling_timesteps=125)
+  config.num_samples_per_call = 1024
+  config.patch_size = int(arg.variant.split("/")[1])
+
+  config.input = dict()
+  if arg.data == "synthetic":
+    config.input.data = dict(name="synthetic", img_size=arg.size,
+                             num_examples=50_000)
+    pp_train = "|flip_lr"
+  elif arg.data.startswith("arrays:"):
+    config.input.data = dict(name="arrays", root=arg.data[len("arrays:"):])
+    pp_train = "|flip_lr"
+  else:
+    config.input.data = dict(name=arg.data, split="train[:99%]")
+    pp_train = (f"decode_jpeg_and_inception_crop(size={arg.size}, "
+                f"area_min={arg.area_min})|flip_lr")
+  pp_common = '|value_range(-1, 1)|keep("image", "label")'
+  config.input.pp = pp_train + pp_common
+  pp_eval = f"decode|resize_small({arg.size})|central_crop({arg.size})" \
+      + pp_common
+  if arg.data == "synthetic":
+    pp_eval = pp_common[1:]
+
+  config.input.batch_size = arg.batch_size
+  config.input.num_workers = 16
+  config.input.prefetch_to_device = 4
+
+  config.log_training_steps = 100
+  config.ckpt_steps = 5000
+  config.save_ckpt = arg.save_ckpt
+
+  config.model_name = "ae"
+  config.model = dict(
+      num_classes=config.num_classes,
+      variant=arg.variant,
+      scan=arg.scan,
+      adaln=arg.adaln,
+      channels=config.diffusion_space[-1],
+      img_size=config.diffusion_space[0],
+      remat_policy="nothing_saveable",
+      attn_impl=arg.attn_impl,
+      dtype_mm="bfloat16")
+
+  config.optax_name = "adamw"
+  config.clip_norm = 1.0
+  config.warmup_epochs = int(0.05 * arg.epochs)
+  config.peak_lr = arg.lr
+  config.wd = arg.wd
+  config.betas = (0.9, arg.beta2)
+
+  def get_eval(split, dataset=arg.data):
+    return dict(type="diffusion_loss",
+                data=dict(name=dataset, split=split),
+                pp_fn=pp_eval, log_steps=25_000, pred="loss",
+                cache_final=True)
+
+  def get_mae_eval(split, dataset=arg.data):
+    return dict(type="mae_reconstruction",
+                data=dict(name=dataset, split=split),
+                pp_fn=pp_eval, log_steps=25_000, pred="patch",
+                cache_final=True)
+
+  def get_sample_eval(pred="cond_eps"):
+    return dict(type="diffusion_sampling", pred=pred,
+                total_samples=10_000, log_steps=25_000)
+
+  config.evals = {}
+  if config.no_noise_prob < 1.0:
+    config.evals["val"] = get_eval("validation")
+  if config.mask_ratio > 0.0 or config.no_noise_prob > 0.0:
+    config.evals["mae_val"] = get_mae_eval("validation")
+
+  pred = "predict" if config.no_noise_prob > 0.0 else "noised_predict"
+  config.evals["fewshot"] = get_fewshot_lsr(
+      target_resolution=arg.size, resize_resolution=config.resize,
+      datasets={"imagenet": (arg.data, arg.data,
+                             "train[:100000]", "validation")},
+      pred=pred)
+  config.evals["fewshot"]["log_steps"] = 10_000
+
+  if arg.fsdp:
+    config.param_sharding = "fully_sharded"
+    config.optim_sharding = "fully_sharded"
+    config.mesh_fsdp = 0  # 0 → absorb all devices on the fsdp axis
+    config.model.scan = True
+
+  if config.no_noise_prob < 1.0 and arg.use_labels:
+    config.evals["sample_cond"] = get_sample_eval("cond_eps")
+    config.evals["sample_cfg_1_5"] = get_sample_eval("cfg_eps_2.0")
+    config.evals["sample_cfg_4"] = get_sample_eval("cfg_eps_4.0")
+    config.inception_reference_path = ""  # Set to local fid stats .npz.
+
+  if arg.runlocal:
+    config.input.batch_size = 32
+    config.input.num_workers = 2
+    config.evals = {}
+  return config

@@ -1,0 +1,437 @@
+"""The unified-AE pretrain/finetune trainer.
+
+Parity target: /root/reference/big_vision/trainers/train_ae.py (732 LoC):
+same train-state layout {params, opt, rng, gd [, ema_params]}, same joint
+MAE+diffusion loss split by a static `no_noise_prob` batch fraction
+(:304-361), label-CFG dropout, EMA, NaN abort, periodic eval/checkpoint, and
+the same eval predict-fn suite (:384-543) feeding the evaluator framework.
+
+TPU-first deviations:
+  - The fused device-side pp program (flip/value_range/onehot) runs INSIDE
+    the jitted update_fn, so raw uint8 batches cross PCIe/DCN and the
+    f32 expansion happens in HBM.
+  - Explicit NamedSharding everywhere (no flax logical-axis rules); the
+    mesh supports data+fsdp(+tensor) axes, not just 1-D data.
+  - bf16 matmuls by default; fp32 params and loss.
+  - Checkpointing is orbax-async (utils/checkpoint.py) instead of
+    hand-rolled tensorstore.
+"""
+
+import functools
+import importlib
+import math
+import time
+from typing import Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from small_vision_tpu import optim, parallel
+from small_vision_tpu.data import pipeline
+from small_vision_tpu.ops import diffusion as gd_lib
+from small_vision_tpu.parallel.ctx import activate_mesh
+from small_vision_tpu.utils import (Chrono, MetricWriter, itstime, steps)
+from small_vision_tpu.utils import checkpoint as ckpt_lib
+
+
+def _info(note):
+  if jax.process_index() == 0:
+    print(f"[33mNOTE[0m: {note}", flush=True)
+
+
+def build_model(config):
+  model_mod = importlib.import_module(
+      f"small_vision_tpu.models.{config.get('model_name', 'ae')}")
+  return model_mod.Model(**dict(config.get("model", {})))
+
+
+def make_update_fn(model, tx, config, device_pp, mesh,
+                   train_state_sharding):
+  """Builds the single-XLA-program train step (donated train_state+batch)."""
+  no_noise_prob = float(config.get("no_noise_prob", 0.5))
+  mask_ratio = float(config.get("mask_ratio", 0.375))
+  mask_ratio_no_noise = float(config.get("mask_ratio_no_noise", 0.75))
+  use_labels = bool(config.get("use_labels", False))
+  ema_decay = config.get("ema_decay", None)
+  channels = int(config.get("diffusion_space", (64, 64, 3))[-1])
+  repl = parallel.replicated_sharding(mesh)
+
+  @functools.partial(
+      jax.jit,
+      donate_argnums=(0, 1),
+      out_shardings=(train_state_sharding, repl))
+  def update_fn(train_state, batch):
+    rng = train_state["rng"]
+    gd = train_state["gd"]
+
+    rng, pp_rng = jax.random.split(rng)
+    if device_pp is not None:
+      batch = device_pp(dict(batch), pp_rng)
+    images = batch["image"]
+    b = images.shape[0]
+
+    n_no_noise = int(b * no_noise_prob)  # static split, reference :304
+    n_noise = b - n_no_noise
+    x0_noise = images[:n_noise]
+    x0_clean = images[n_noise:]
+    labels_t = batch["label"][:n_noise] if use_labels else None
+
+    (rng, t_rng, noise_rng, rng_mae, cfg_mae, mae_mae,
+     rng_dit, mae_dit, cfg_dit) = jax.random.split(rng, 9)
+
+    batched_t = jax.random.randint(
+        t_rng, (n_noise,), 0, gd.num_timesteps, jnp.int32)
+    noise = jax.random.normal(noise_rng, x0_noise.shape, jnp.float32)
+    x_t = gd_lib.q_sample(gd, x0_noise, batched_t, noise)
+
+    def loss_fn(params):
+      if n_no_noise > 0:
+        # MAE branch: clean input, t=0, heavy masking; loss on masked x0.
+        pred, out = model.apply(
+            {"params": params}, x0_clean,
+            t=jnp.zeros((n_no_noise,), jnp.int32),
+            train=True, mask=mask_ratio_no_noise,
+            rngs={"dropout": rng_mae, "cfg": cfg_mae, "mae_noise": mae_mae})
+        pred_x0 = pred[..., :channels]
+        se = (pred_x0 - x0_clean) ** 2
+        mae_loss = jnp.mean(se * out["mask"]) / jnp.mean(out["mask"])
+      else:
+        mae_loss = 0.0
+
+      if n_noise > 0:
+        # Diffusion branch: noised input at t+1 (t=0 is reserved for clean),
+        # optional masking; eps loss on visible, x0 loss on masked tokens.
+        pred, out = model.apply(
+            {"params": params}, x_t,
+            t=batched_t + 1, y=labels_t,
+            train=True, mask=mask_ratio,
+            rngs={"dropout": rng_dit, "cfg": cfg_dit, "mae_noise": mae_dit})
+        pred_x0 = pred[..., :channels]
+        pred_eps = pred[..., channels:]
+        x0_se = (pred_x0 - x0_noise) ** 2
+        eps_se = (pred_eps - noise) ** 2
+        if out["mask"] is not None:
+          eps_loss = (jnp.mean(eps_se * (1 - out["mask"]))
+                      / jnp.mean(1 - out["mask"]))
+          x0_loss = jnp.mean(x0_se * out["mask"]) / jnp.mean(out["mask"])
+          dit_loss = (eps_loss + x0_loss) / 2
+        else:
+          dit_loss = (jnp.mean(eps_se) + jnp.mean(x0_se)) / 2
+      else:
+        dit_loss = 0.0
+
+      return (dit_loss * (1 - no_noise_prob) + mae_loss * no_noise_prob)
+
+    params, opt = train_state["params"], train_state["opt"]
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt = tx.update(grads, opt, params)
+    params = optax.apply_updates(params, updates)
+
+    measurements = {"training_loss": loss}
+    measurements["l2_params"] = optax.global_norm(params)
+    measurements["l2_updates"] = optax.global_norm(updates)
+    measurements["l2_grads"] = optax.global_norm(grads)
+
+    new_state = {"params": params, "opt": opt, "rng": rng, "gd": gd}
+    if ema_decay:
+      new_state["ema_params"] = optax.incremental_update(
+          params, train_state["ema_params"], ema_decay)
+    return new_state, measurements
+
+  return update_fn
+
+
+def make_eval_fns(model, config):
+  """The predict-fn suite evaluators consume (reference :384-543)."""
+  channels = int(config.get("diffusion_space", (64, 64, 3))[-1])
+  dspace = tuple(config.get("diffusion_space", (64, 64, 3)))
+  use_labels = bool(config.get("use_labels", False))
+  num_classes = config.get("num_classes", None)
+  sampling_steps = int(config.get("diff_schedule", {}).get(
+      "sampling_timesteps", 125))
+  eta = float(config.get("diff_schedule", {}).get("eta", 1.0))
+  clip_denoised = bool(config.get("diff_schedule", {}).get(
+      "clip_denoised", True))
+  mask_ratio_no_noise = float(config.get("mask_ratio_no_noise", 0.75))
+
+  def predict_fn(train_state, batch):
+    """Clean forward at t=0; `out` carries pre_logits for probes."""
+    _, out = model.apply({"params": train_state["params"]}, batch["image"],
+                         t=jnp.zeros((batch["image"].shape[0],), jnp.int32))
+    return None, out
+
+  def make_noised_predict(t_value):
+    def noised_predict_fn(train_state, batch):
+      images = batch["image"]
+      b = images.shape[0]
+      _, noise_rng = jax.random.split(train_state["rng"])
+      t = jnp.full((b,), t_value, jnp.int32)
+      x_t = gd_lib.q_sample(train_state["gd"], images, t,
+                            jax.random.normal(noise_rng, images.shape))
+      _, out = model.apply({"params": train_state["params"]}, x_t, t=t + 1)
+      return None, out
+    return noised_predict_fn
+
+  def patch_fn(train_state, batch):
+    """MAE reconstruction: masked clean forward, returns (pred_x0, mask)."""
+    images = batch["image"]
+    b = images.shape[0]
+    _, mae_rng = jax.random.split(train_state["rng"])
+    pred, out = model.apply(
+        {"params": train_state["params"]}, images,
+        t=jnp.zeros((b,), jnp.int32), mask=mask_ratio_no_noise,
+        rngs={"mae_noise": mae_rng})
+    return pred[..., :channels], out["mask"]
+
+  def loss_fn(train_state, batch):
+    """Validation diffusion loss + visualization tensors."""
+    images = batch["image"]
+    b = images.shape[0]
+    gd = train_state["gd"]
+    labels = batch.get("label") if use_labels else None
+    t_rng, noise_rng = jax.random.split(train_state["rng"])
+    t = jax.random.randint(t_rng, (b,), 0, gd.num_timesteps, jnp.int32)
+    noise = jax.random.normal(noise_rng, images.shape)
+    x_t = gd_lib.q_sample(gd, images, t, noise)
+    pred, _ = model.apply({"params": train_state["params"]}, x_t,
+                          y=labels, t=t + 1)
+    pred_x0 = pred[..., :channels]
+    pred_eps = pred[..., channels:]
+    loss = (jnp.mean((pred_eps - noise) ** 2)
+            + jnp.mean((pred_x0 - images) ** 2)) / 2
+    pred_x0_eps = gd_lib.predict_xstart_from_eps(gd, x_t, t, pred_eps)
+    return loss, x_t, pred_x0, pred_x0_eps
+
+  def make_apply_fn(train_state, eps_pred=True):
+    """The sampler's eps model: EMA params, t+1 shift, optional CFG."""
+    p = train_state.get("ema_params", train_state["params"])
+
+    def apply_fn(*, x_t, t, rng, y=None, cfg_scale=None):
+      del rng
+      pred, _ = model.apply({"params": p}, x_t, t=t + 1, y=y,
+                            cfg_scale=cfg_scale)
+      if eps_pred:
+        return pred[..., channels:]
+      return gd_lib.predict_eps_from_xstart(
+          train_state["gd"], x_t, t, pred[..., :channels])
+    return apply_fn
+
+  def make_sample_fn(num_classes_arg=None, manual_ys=None, cfg_scale=None,
+                     unnormalize=True, eps_pred=True):
+    def sample_fn(train_state, rng):
+      num_samples = int(config.get("num_samples_per_call", 1024))
+      rng, key = jax.random.split(rng)
+      if num_classes_arg is not None and manual_ys is None:
+        assert num_samples >= num_classes_arg
+        ys = jnp.arange(num_classes_arg)
+        if num_samples > num_classes_arg:
+          ys = jnp.concatenate([ys, jax.random.randint(
+              key, (num_samples - num_classes_arg,), 0, num_classes_arg)])
+      elif manual_ys is not None:
+        ys = jnp.asarray(manual_ys)
+      else:
+        ys = None
+
+      out = gd_lib.ddim_sample_loop(
+          train_state["gd"], make_apply_fn(train_state, eps_pred=eps_pred),
+          rng, (num_samples,) + dspace, ys=ys, cfg_scale=cfg_scale,
+          sampling_steps=sampling_steps, eta=eta,
+          clip_denoised=clip_denoised)
+      samples, rng = out["sample"], out["rng"]
+
+      if unnormalize:
+        samples = jnp.clip(samples, -1, 1) * 0.5 + 0.5
+        samples = jnp.clip(samples * 255, 0, 255).astype(jnp.uint8)
+
+      rng, key = jax.random.split(rng)
+      n_show = int(config.get("num_samples", 36))
+      show_idx = jax.random.randint(key, (n_show,), 0, num_samples)
+      return {"fid_samples": samples,
+              "image_examples": samples[show_idx],
+              "ys": ys, "rng": rng}
+    return sample_fn
+
+  fns = {
+      "predict": predict_fn,
+      "noised_predict": make_noised_predict(50),
+      "patch": patch_fn,
+      "loss": loss_fn,
+      "uncond_eps": make_sample_fn(),
+  }
+  if num_classes:
+    fns.update({
+        "cond_eps": make_sample_fn(num_classes),
+        "cfg_eps_1.0": make_sample_fn(num_classes, cfg_scale=1.0),
+        "cfg_eps_1.5": make_sample_fn(num_classes, cfg_scale=1.5),
+        "cfg_eps_2.0": make_sample_fn(num_classes, cfg_scale=2.0),
+        "cfg_eps_4.0": make_sample_fn(num_classes, cfg_scale=4.0),
+        "cfg_x0_2.0": make_sample_fn(num_classes, cfg_scale=2.0,
+                                     eps_pred=False),
+        "cfg_x0_4.0": make_sample_fn(num_classes, cfg_scale=4.0,
+                                     eps_pred=False),
+    })
+  return fns
+
+
+def train_and_evaluate(config, workdir: Optional[str] = None, mesh=None):
+  """Runs the training loop; returns the final train_state and metrics."""
+  mesh = mesh or parallel.make_mesh(
+      fsdp=int(config.get("mesh_fsdp", 1)),
+      tensor=int(config.get("mesh_tensor", 1)))
+  chrono = Chrono()
+  mw = MetricWriter(workdir, config)
+
+  batch_size = int(config["input"]["batch_size"])
+  if batch_size % jax.device_count():
+    raise ValueError(f"batch {batch_size} % devices {jax.device_count()}")
+
+  train_iter, device_pp, ntrain_img = pipeline.training(
+      dict(config["input"]), mesh)
+  total_steps = steps("total", config, ntrain_img, batch_size)
+  get_steps = lambda name, default=ValueError: steps(
+      name, config, ntrain_img, batch_size, total_steps, default)
+  _info(f"{total_steps} steps "
+        f"({total_steps * batch_size / ntrain_img:.1f} epochs)")
+  chrono.inform(total_steps=total_steps, global_bs=batch_size,
+                steps_per_epoch=ntrain_img / batch_size,
+                measure=mw.measure, write_note=_info)
+
+  model = build_model(config)
+
+  def init(rng):
+    bs = max(batch_size // jax.device_count(), 1)
+    dspace = tuple(config.get("diffusion_space", (64, 64, 3)))
+    fake = jnp.zeros((bs,) + dspace, jnp.float32)
+    ts = jnp.zeros((bs,), jnp.int32)
+    rngs = {"params": rng, "dropout": rng, "mae_noise": rng, "cfg": rng}
+    return flax.core.unfreeze(model.init(
+        rngs, fake, t=ts, train=True,
+        mask=float(config.get("mask_ratio_no_noise", 0.75)) or 0.5))["params"]
+
+  rng = jax.random.PRNGKey(int(config.get("seed", 0)))
+  rng, rng_init = jax.random.split(rng)
+  params_shape = jax.eval_shape(init, rng_init)
+
+  # Optimizer.
+  warmup_steps = get_steps("warmup", None) or max(
+      int(0.05 * total_steps), 1)
+  tx, _ = optim.adamw_trainer_tx(
+      peak_lr=float(config.get("peak_lr", 15e-5)),
+      batch_size=batch_size, total_steps=total_steps,
+      warmup_steps=warmup_steps,
+      wd=float(config.get("wd", 0.05)),
+      betas=tuple(config.get("betas", (0.9, 0.95))),
+      clip_norm=float(config.get("clip_norm", 1.0)),
+      no_decay_list=tuple(getattr(model, "no_decay_list",
+                                  ("cls", "mask_token", "bias"))),
+      mu_dtype=config.get("mu_dtype", "bfloat16"))
+  opt_shape = jax.eval_shape(tx.init, params_shape)
+
+  if jax.process_index() == 0:
+    from small_vision_tpu.utils.trees import tree_size
+    mw.measure("num_params", tree_size(params_shape))
+
+  # Shardings.
+  repl = parallel.replicated_sharding(mesh)
+  params_sharding = parallel.infer_sharding(
+      params_shape, mesh, config.get("param_sharding", "replicated"))
+  opt_sharding = parallel.infer_sharding(
+      opt_shape, mesh, config.get("optim_sharding", "replicated"))
+
+  with activate_mesh(mesh):
+    rng_init = parallel.reshard(rng_init, repl)
+    params = jax.jit(init, out_shardings=params_sharding)(rng_init)
+    opt = jax.jit(tx.init, out_shardings=opt_sharding)(params)
+    rng, rng_loop = jax.random.split(rng)
+    rng_loop = parallel.reshard(rng_loop, repl)
+
+    gd = gd_lib.GaussianDiffusion.create(
+        config.get("diff_schedule", {}).get("beta_schedule", "cosine"),
+        int(config.get("diff_schedule", {}).get("timesteps", 1000)))
+    gd = parallel.reshard(gd, repl)
+
+    train_state = {"params": params, "opt": opt, "rng": rng_loop, "gd": gd}
+    train_state_sharding = {
+        "params": params_sharding, "opt": opt_sharding, "rng": repl,
+        "gd": jax.tree.map(lambda _: repl, gd)}
+    del params, opt, rng_loop
+
+    if config.get("ema_decay"):
+      train_state["ema_params"] = jax.tree.map(jnp.copy,
+                                               train_state["params"])
+      train_state_sharding["ema_params"] = params_sharding
+
+    # Checkpoint resume.
+    ckpt_mngr = None
+    if workdir and (config.get("save_ckpt", True) or config.get("resume")):
+      ckpt_mngr = ckpt_lib.make_manager(
+          workdir, keep_period=get_steps("keep_ckpt", None))
+      abstract = ckpt_lib.abstract_like(train_state, train_state_sharding)
+      restored = ckpt_lib.restore(ckpt_mngr, abstract)
+      if restored is not None:
+        _info(f"Resumed from step {ckpt_mngr.latest_step()}")
+        train_state = restored
+
+    update_fn = make_update_fn(model, tx, config, device_pp, mesh,
+                               train_state_sharding)
+    eval_fns = make_eval_fns(model, config)
+
+    # Evaluators (lazy import: the framework needs eval_fns).
+    evaluators = []
+    if config.get("evals"):
+      from small_vision_tpu.evaluators import common as eval_common
+      evaluators = eval_common.from_config(
+          config, eval_fns, mesh,
+          lambda key, cfg: steps(key, cfg, ntrain_img, batch_size,
+                                 total_steps, default=None))
+
+    first_step = int(jax.device_get(
+        optim.get_count(train_state["opt"], jittable=True)))
+    chrono.inform(first_step=first_step)
+    _info(f"Starting at step {first_step + 1}/{total_steps}")
+
+    log_steps = get_steps("log_training", 100)
+    ckpt_steps = get_steps("ckpt", None)
+
+    train_it = iter(train_iter)
+    for step in range(first_step + 1, total_steps + 1):
+      batch = next(train_it)
+      mw.step_start(step)
+      with jax.profiler.StepTraceAnnotation("train_step", step_num=step):
+        train_state, measurements = update_fn(train_state, batch)
+
+      if itstime(step, log_steps, total_steps, host=0):
+        measurements = jax.device_get(measurements)
+        measurements["epochs"] = step * batch_size / ntrain_img
+        for name, value in measurements.items():
+          mw.measure(name, value)
+        chrono.tick(step)
+        if not np.isfinite(measurements["training_loss"]):
+          raise RuntimeError(
+              f"Loss became NaN/Inf within steps "
+              f"[{step - log_steps}, {step}]")
+
+      if ckpt_mngr and config.get("save_ckpt", True) and itstime(
+          step, ckpt_steps, total_steps, first=False):
+        chrono.pause(wait_for=jax.tree.leaves(train_state["params"]))
+        ckpt_lib.save(ckpt_mngr, train_state, step)
+        chrono.resume()
+
+      for (name, evaluator, ev_steps, prefix) in evaluators:
+        if itstime(step, ev_steps, total_steps, first=False, last=True):
+          chrono.pause(wait_for=jax.tree.leaves(train_state["params"]))
+          chrono.tick(step)
+          _info(f"{name} evaluation at step {step}...")
+          for key, value in evaluator.run(train_state):
+            mw.measure(f"{prefix}{key}", value)
+          chrono.resume()
+
+      mw.step_end()
+
+    if ckpt_mngr:
+      ckpt_lib.wait_until_finished(ckpt_mngr)
+    mw.close()
+    return train_state, eval_fns
