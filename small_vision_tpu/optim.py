@@ -131,9 +131,10 @@ def adamw_trainer_tx(*, peak_lr: float, batch_size: int, total_steps: int,
   in their path are exempt from weight decay; first moment in bf16 halves
   optimizer HBM.
   """
+  warmup_steps = min(max(warmup_steps, 1), max(total_steps - 1, 1))
   lr = optax.warmup_cosine_decay_schedule(
       init_value=0.0, peak_value=peak_lr * batch_size / 256.0,
-      warmup_steps=max(warmup_steps, 1), decay_steps=total_steps)
+      warmup_steps=warmup_steps, decay_steps=total_steps)
 
   def decay_mask(params):
     from small_vision_tpu.utils.trees import tree_map_with_names
@@ -150,9 +151,10 @@ def lars_probe_tx(*, base_lr: float, batch_size: int, total_steps: int,
                   warmup_steps: int, momentum: float = 0.9):
   """LARS with linear-scaled LR for the linear probe
   (linear_ae.py:199-208 semantics)."""
+  warmup_steps = min(max(warmup_steps, 1), max(total_steps - 1, 1))
   lr = optax.warmup_cosine_decay_schedule(
       init_value=0.0, peak_value=base_lr * batch_size / 256.0,
-      warmup_steps=max(warmup_steps, 1), decay_steps=total_steps)
+      warmup_steps=warmup_steps, decay_steps=total_steps)
   return optax.lars(learning_rate=lr, momentum=momentum), lr
 
 

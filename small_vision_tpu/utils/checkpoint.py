@@ -61,6 +61,27 @@ def restore(mngr: ocp.CheckpointManager, abstract_state: Any,
   return mngr.restore(step, args=ocp.args.StandardRestore(abstract_state))
 
 
+def restore_subtree(mngr: ocp.CheckpointManager, key: str, abstract_subtree,
+                    step: Optional[int] = None):
+  """Restores one top-level entry (e.g. just "params") from a full-state
+  checkpoint onto the shardings carried by `abstract_subtree`.
+
+  Restores the full tree to host numpy first (no abstract target needed),
+  then device_puts only the wanted subtree. Fine at ViT-L scale; a
+  metadata-driven partial restore can replace this if states outgrow host
+  RAM.
+  """
+  step = step if step is not None else mngr.latest_step()
+  if step is None:
+    return None
+  restored = mngr.restore(step, args=ocp.args.StandardRestore())
+  sub = restored[key]
+  shardings = jax.tree.map(
+      lambda a: a.sharding if hasattr(a, "sharding") else None,
+      abstract_subtree)
+  return jax.device_put(sub, shardings)
+
+
 def latest_step(mngr: ocp.CheckpointManager) -> Optional[int]:
   return mngr.latest_step()
 
