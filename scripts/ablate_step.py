@@ -36,10 +36,17 @@ cfg = dict(
     nomask=dict(scan=True, policy="nothing_saveable", mask=0.0, grad=True),
     fwdonly=dict(scan=True, policy="nothing_saveable", mask=0.375,
                  grad=False),
+    pallas=dict(scan=True, policy="nothing_saveable", mask=0.375, grad=True,
+                attn="pallas"),
+    pallas_fwd=dict(scan=True, policy="nothing_saveable", mask=0.375,
+                    grad=False, attn="pallas"),
+    pallas_noremat=dict(scan=False, policy="nothing_saveable", mask=0.375,
+                        grad=True, attn="pallas"),
 )[NAME]
 
 model = ae_mod.Model(variant="B/4", img_size=64, scan=cfg["scan"],
                      adaln=True, dtype_mm="bfloat16",
+                     attn_impl=cfg.get("attn", "xla"),
                      remat_policy=cfg["policy"])
 params = model.init(rngs, x[:2], t=t[:2], train=True, mask=0.375)["params"]
 
