@@ -44,7 +44,8 @@ def get(name: str, **kw) -> DataSource:
     return module.DataSource(**kw)
   known = {"synthetic": "small_vision_tpu.data.synthetic",
            "tfds": "small_vision_tpu.data.tfds_source",
-           "arrays": "small_vision_tpu.data.arrays"}
+           "arrays": "small_vision_tpu.data.arrays",
+           "latents": "small_vision_tpu.data.latents"}
   # Dataset names like "imagenet2012" route to the TFDS source, matching the
   # reference's config strings (configs/ae_i1k.py:56-58).
   module_name = known.get(name, known["tfds"])

@@ -49,7 +49,7 @@ def build_model(config):
 
 
 def make_update_fn(model, tx, config, device_pp, mesh,
-                   train_state_sharding):
+                   train_state_sharding, vae_encode=None):
   """Builds the single-XLA-program train step (donated train_state+batch)."""
   no_noise_prob = float(config.get("no_noise_prob", 0.5))
   mask_ratio = float(config.get("mask_ratio", 0.375))
@@ -57,6 +57,8 @@ def make_update_fn(model, tx, config, device_pp, mesh,
   use_labels = bool(config.get("use_labels", False))
   ema_decay = config.get("ema_decay", None)
   channels = int(config.get("diffusion_space", (64, 64, 3))[-1])
+  latent = bool(config.get("latent_diffusion", False))
+  pre_latents = bool(config.get("use_preprocessed_latents", False))
   repl = parallel.replicated_sharding(mesh)
 
   @functools.partial(
@@ -71,6 +73,11 @@ def make_update_fn(model, tx, config, device_pp, mesh,
     if device_pp is not None:
       batch = device_pp(dict(batch), pp_rng)
     images = batch["image"]
+    if latent and not pre_latents:
+      # VAE-encode pixels → latents inside the same program: the encoder
+      # conv stack fuses into the step; pixels never persist in HBM.
+      rng, vae_rng = jax.random.split(rng)
+      images = vae_encode(train_state["vae_params"], vae_rng, images)
     b = images.shape[0]
 
     n_no_noise = int(b * no_noise_prob)  # static split, reference :304
@@ -139,15 +146,29 @@ def make_update_fn(model, tx, config, device_pp, mesh,
     if ema_decay:
       new_state["ema_params"] = optax.incremental_update(
           params, train_state["ema_params"], ema_decay)
+    if latent:
+      new_state["vae_params"] = train_state["vae_params"]
     return new_state, measurements
 
   return update_fn
 
 
-def make_eval_fns(model, config):
+def make_eval_fns(model, config, vae_encode=None, vae_decode=None):
   """The predict-fn suite evaluators consume (reference :384-543)."""
   channels = int(config.get("diffusion_space", (64, 64, 3))[-1])
   dspace = tuple(config.get("diffusion_space", (64, 64, 3)))
+  latent = bool(config.get("latent_diffusion", False))
+  size = int(config.get("size", dspace[0]))
+
+  def to_latent(train_state, images, rng):
+    if not latent:
+      return images
+    return vae_encode(train_state["vae_params"], rng, images)
+
+  def from_latent(train_state, z):
+    if not latent:
+      return z
+    return vae_decode(train_state["vae_params"], z)
   use_labels = bool(config.get("use_labels", False))
   num_classes = config.get("num_classes", None)
   sampling_steps = int(config.get("diff_schedule", {}).get(
@@ -159,15 +180,17 @@ def make_eval_fns(model, config):
 
   def predict_fn(train_state, batch):
     """Clean forward at t=0; `out` carries pre_logits for probes."""
-    _, out = model.apply({"params": train_state["params"]}, batch["image"],
-                         t=jnp.zeros((batch["image"].shape[0],), jnp.int32))
+    images = to_latent(train_state, batch["image"],
+                       jax.random.split(train_state["rng"])[1])
+    _, out = model.apply({"params": train_state["params"]}, images,
+                         t=jnp.zeros((images.shape[0],), jnp.int32))
     return None, out
 
   def make_noised_predict(t_value):
     def noised_predict_fn(train_state, batch):
-      images = batch["image"]
+      vae_rng, noise_rng = jax.random.split(train_state["rng"])
+      images = to_latent(train_state, batch["image"], vae_rng)
       b = images.shape[0]
-      _, noise_rng = jax.random.split(train_state["rng"])
       t = jnp.full((b,), t_value, jnp.int32)
       x_t = gd_lib.q_sample(train_state["gd"], images, t,
                             jax.random.normal(noise_rng, images.shape))
@@ -177,22 +200,26 @@ def make_eval_fns(model, config):
 
   def patch_fn(train_state, batch):
     """MAE reconstruction: masked clean forward, returns (pred_x0, mask)."""
-    images = batch["image"]
+    vae_rng, mae_rng = jax.random.split(train_state["rng"])
+    images = to_latent(train_state, batch["image"], vae_rng)
     b = images.shape[0]
-    _, mae_rng = jax.random.split(train_state["rng"])
     pred, out = model.apply(
         {"params": train_state["params"]}, images,
         t=jnp.zeros((b,), jnp.int32), mask=mask_ratio_no_noise,
         rngs={"mae_noise": mae_rng})
-    return pred[..., :channels], out["mask"]
+    pred_x0, mask = pred[..., :channels], out["mask"]
+    if latent:
+      pred_x0 = from_latent(train_state, pred_x0)
+      mask = jax.image.resize(mask, (b, size, size, 1), "nearest")
+    return pred_x0, mask
 
   def loss_fn(train_state, batch):
     """Validation diffusion loss + visualization tensors."""
-    images = batch["image"]
+    vae_rng, t_rng, noise_rng = jax.random.split(train_state["rng"], 3)
+    images = to_latent(train_state, batch["image"], vae_rng)
     b = images.shape[0]
     gd = train_state["gd"]
     labels = batch.get("label") if use_labels else None
-    t_rng, noise_rng = jax.random.split(train_state["rng"])
     t = jax.random.randint(t_rng, (b,), 0, gd.num_timesteps, jnp.int32)
     noise = jax.random.normal(noise_rng, images.shape)
     x_t = gd_lib.q_sample(gd, images, t, noise)
@@ -203,6 +230,10 @@ def make_eval_fns(model, config):
     loss = (jnp.mean((pred_eps - noise) ** 2)
             + jnp.mean((pred_x0 - images) ** 2)) / 2
     pred_x0_eps = gd_lib.predict_xstart_from_eps(gd, x_t, t, pred_eps)
+    if latent:
+      x_t = from_latent(train_state, x_t)
+      pred_x0 = from_latent(train_state, pred_x0)
+      pred_x0_eps = from_latent(train_state, pred_x0_eps)
     return loss, x_t, pred_x0, pred_x0_eps
 
   def make_apply_fn(train_state, eps_pred=True):
@@ -241,6 +272,8 @@ def make_eval_fns(model, config):
           sampling_steps=sampling_steps, eta=eta,
           clip_denoised=clip_denoised)
       samples, rng = out["sample"], out["rng"]
+      if latent:
+        samples = from_latent(train_state, samples)
 
       if unnormalize:
         samples = jnp.clip(samples, -1, 1) * 0.5 + 0.5
@@ -359,6 +392,18 @@ def train_and_evaluate(config, workdir: Optional[str] = None, mesh=None):
         "gd": jax.tree.map(lambda _: repl, gd)}
     del params, opt, rng_loop
 
+    vae_encode = vae_decode = None
+    if config.get("latent_diffusion"):
+      from small_vision_tpu.models.vae import load_vae
+      vae_params, vae_encode, vae_decode = load_vae(
+          config.get("vae_weights"), image_size=int(config.get("size", 256)))
+      vae_sharding = parallel.infer_sharding(
+          jax.eval_shape(lambda p: p, vae_params), mesh,
+          config.get("vae_param_sharding", "replicated"))
+      train_state["vae_params"] = parallel.reshard(vae_params, vae_sharding)
+      train_state_sharding["vae_params"] = vae_sharding
+      del vae_params
+
     if config.get("ema_decay"):
       train_state["ema_params"] = jax.tree.map(jnp.copy,
                                                train_state["params"])
@@ -376,8 +421,9 @@ def train_and_evaluate(config, workdir: Optional[str] = None, mesh=None):
         train_state = restored
 
     update_fn = make_update_fn(model, tx, config, device_pp, mesh,
-                               train_state_sharding)
-    eval_fns = make_eval_fns(model, config)
+                               train_state_sharding, vae_encode=vae_encode)
+    eval_fns = make_eval_fns(model, config, vae_encode=vae_encode,
+                             vae_decode=vae_decode)
 
     # Evaluators (lazy import: the framework needs eval_fns).
     evaluators = []
