@@ -30,6 +30,7 @@ from small_vision_tpu.parallel.mesh import batch_sharding
 from small_vision_tpu.pp.builder import get_preprocess_fn
 
 # Ensure the standard op sets are registered on import.
+import small_vision_tpu.pp.autoaugment  # noqa: F401
 import small_vision_tpu.pp.ops_general  # noqa: F401
 import small_vision_tpu.pp.ops_image  # noqa: F401
 

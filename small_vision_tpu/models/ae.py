@@ -119,12 +119,14 @@ class _ViTAE(nn.Module):
     cond = time_cond + y_cond
     if self.adaln:
       cond = nn.silu(cond)
-    return x, cond
+    # Keep the compute dtype: a fp32 cond would promote the whole AdaLN
+    # modulation path (and with in-context conditioning, the token stream).
+    return x, cond.astype(self.dtype_mm)
 
   def encode(self, x, cond, *, mask=0.0, train=False):
     out = {}
     n = x.shape[0]
-    x = x + self.posemb
+    x = x + self.posemb.astype(x.dtype)  # Don't promote the stream to f32.
 
     if mask > 0.0:
       x, seq_mask, ids_restore = random_masking(
@@ -144,11 +146,12 @@ class _ViTAE(nn.Module):
 
   def decode(self, rep, x, cond, ids_restore=None, train=False):
     n = x.shape[0]
+    x = x.astype(self.dtype_mm)  # Encoder's final LN emits fp32.
     if ids_restore is not None:
       x = restore_masked(x, self.mask_token, ids_restore)
 
-    x = x + self.dec_posemb
-    x = jnp.concatenate([rep[:, None, :], x], axis=1)  # rep token prepended
+    x = x + self.dec_posemb.astype(x.dtype)
+    x = jnp.concatenate([rep[:, None, :].astype(x.dtype), x], axis=1)
     x = self.decoder(x, cond=cond, deterministic=not train)
     x = x[:, 1:, :]
 

@@ -130,7 +130,10 @@ class Block(nn.Module):
       x = jnp.concatenate([cond[:, None, :], x], axis=1)
 
     x = constrain(x, "batch", None, "embed")
-    y = nn.LayerNorm()(x)
+    # LayerNorm statistics in fp32, output cast back to the compute dtype so
+    # the residual stream stays bf16 (fp32 LN outputs would silently promote
+    # every downstream tensor and double HBM traffic).
+    y = nn.LayerNorm()(x).astype(self.dtype_mm)
     if use_adaln:
       y = modulate(y, shift_a, scale_a)
     y = MultiHeadAttention(num_heads=self.num_heads, dtype_mm=self.dtype_mm,
@@ -141,7 +144,7 @@ class Block(nn.Module):
     y = nn.Dropout(rate=self.dropout)(y, deterministic)
     x = x + y
 
-    y = nn.LayerNorm()(x)
+    y = nn.LayerNorm()(x).astype(self.dtype_mm)
     if use_adaln:
       y = modulate(y, shift_m, scale_m)
     y = MlpBlock(mlp_dim=self.mlp_dim, dropout=self.dropout,

@@ -81,6 +81,46 @@ def get_copy(inkey: str, outkey: str):
   return _copy
 
 
+@Registry.register("concat")
+def get_concat(inkeys, outkey, axis=-1):
+  """Concatenates several tensors into one key (reference ops_general:184)."""
+
+  def _concat(data):
+    data[outkey] = np.concatenate([np.asarray(data[k]) for k in inkeys],
+                                  axis=axis)
+    return data
+  return _concat
+
+
+@Registry.register("setdefault")
+def get_setdefault(key, value):
+  """Inserts a constant if the key is missing (e.g. labels for unlabeled)."""
+
+  def _setdefault(data):
+    if key not in data:
+      data[key] = np.asarray(value)
+    return data
+  return _setdefault
+
+
+@Registry.register("mixup", stage="device")
+def get_mixup(p: float = 0.1, fold_in=("image",), alpha_key: str = "_mixup_a"):
+  """Batch-level mixup on device (reference utils.py:1150 get_mixup):
+  draws a ~Beta(p, p) via two gammas and mixes each tensor with its
+  roll-by-one neighbor."""
+  import jax
+
+  def _mixup(batch, rng):
+    a = jax.random.beta(rng, p, p)
+    a = jnp.maximum(a, 1.0 - a)  # stay close to identity like the reference
+    for k in fold_in:
+      x = batch[k]
+      batch[k] = a * x + (1.0 - a) * jnp.roll(x, 1, axis=0)
+    batch[alpha_key] = a
+    return batch
+  return _mixup
+
+
 @Registry.register("lookup")
 def get_lookup(mapping, npzkey: str = "fnames", sep: str = None,
                key=None, inkey=None, outkey=None):

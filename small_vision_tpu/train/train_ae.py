@@ -434,10 +434,55 @@ def train_and_evaluate(config, workdir: Optional[str] = None, mesh=None):
           lambda key, cfg: steps(key, cfg, ntrain_img, batch_size,
                                  total_steps, default=None))
 
+    def handle_eval_results(name, prefix, results, step):
+      """Logs evaluator outputs; fid_samples get scored + dumped
+      (reference train loop :670-712)."""
+      for key, value in results:
+        if key == "fid_samples":
+          samples, ys = value["samples"], value["ys"]
+          ref_stats = config.get("inception_reference_path")
+          if ref_stats:
+            from small_vision_tpu.evaluators.fid import create_fid_score_fn
+            fid_fn = create_fid_score_fn(
+                1024, ref_stats, config.get("inception_weights"))
+            fid_score, is_score = fid_fn(samples)
+            mw.measure(f"{prefix}{key}_fid_score", fid_score)
+            mw.measure(f"{prefix}{key}_inception_score", is_score)
+          if workdir and jax.process_index() == 0:
+            import os
+            out_dir = os.path.join(workdir, f"{name}_samples")
+            os.makedirs(out_dir, exist_ok=True)
+            np.savez(os.path.join(out_dir, f"samples_{step}.npz"),
+                     samples=samples,
+                     ys=ys if ys is not None else np.zeros(0))
+        elif key.startswith("image"):
+          if workdir and jax.process_index() == 0:
+            import os
+            from small_vision_tpu.utils.misc import make_grid
+            grid = make_grid(value, num_samples=config.get(
+                "num_samples", 36))
+            out_dir = os.path.join(workdir, "grids")
+            os.makedirs(out_dir, exist_ok=True)
+            np.save(os.path.join(
+                out_dir, f"{name}_{key}_{step}.npy"), grid)
+        else:
+          mw.measure(f"{prefix}{key}", value)
+
     first_step = int(jax.device_get(
         optim.get_count(train_state["opt"], jittable=True)))
     chrono.inform(first_step=first_step)
     _info(f"Starting at step {first_step + 1}/{total_steps}")
+
+    if config.get("force_eval") or first_step == total_steps:
+      mw.step_start(first_step)
+      for (name, evaluator, _, prefix) in evaluators:
+        _info(f"{name} evaluation (forced)...")
+        handle_eval_results(name, prefix, evaluator.run(train_state),
+                            first_step)
+      mw.step_end()
+      if config.get("force_eval"):
+        mw.close()
+        return train_state, eval_fns
 
     log_steps = get_steps("log_training", 100)
     ckpt_steps = get_steps("ckpt", None)
@@ -471,8 +516,8 @@ def train_and_evaluate(config, workdir: Optional[str] = None, mesh=None):
           chrono.pause(wait_for=jax.tree.leaves(train_state["params"]))
           chrono.tick(step)
           _info(f"{name} evaluation at step {step}...")
-          for key, value in evaluator.run(train_state):
-            mw.measure(f"{prefix}{key}", value)
+          handle_eval_results(name, prefix, evaluator.run(train_state),
+                              step)
           chrono.resume()
 
       mw.step_end()
