@@ -78,14 +78,17 @@ def fully_sharded(tree, mesh, axis_name=None, min_size_to_shard: int = 2**18):
   return jax.tree.map(spec_for, tree)
 
 
-# Regex rules mapping ViT-AE parameter names to tensor-parallel specs.
-# Attention QKV/out and MLP in/out kernels shard on the width dim so each
-# 'tensor' shard holds a head/neuron slice; everything else replicates.
+# Regex rules mapping ViT-AE parameter names to tensor-parallel specs
+# (trailing dims; scanned stacks add a leading unsharded depth dim).
+# Attention projections are DenseGeneral kernels:
+#   q/k/v: (d_model, heads, head_dim) → shard heads;
+#   out:   (heads, head_dim, d_model) → shard heads;
+# MLP shards the hidden dim. Megatron-style: one all-reduce per block half.
 _TP_RULES = (
-    (r".*/(query|key|value)/kernel", (None, "tensor")),    # (in, heads*dh)
-    (r".*/out/kernel", ("tensor", None)),                  # (heads*dh, out)
-    (r".*Mlp.*/Dense_0/kernel", (None, "tensor")),         # (d, mlp)
-    (r".*Mlp.*/Dense_1/kernel", ("tensor", None)),         # (mlp, d)
+    (r".*/(query|key|value)/kernel", (None, "tensor", None)),
+    (r".*/out/kernel", ("tensor", None, None)),
+    (r".*Mlp.*/Dense_0/kernel", (None, "tensor")),
+    (r".*Mlp.*/Dense_1/kernel", ("tensor", None)),
 )
 
 

@@ -73,9 +73,46 @@ def test_tensor_parallel_rules():
   mesh = parallel.make_mesh(data=4, tensor=2)
   tree = {
       "Encoder": {"query": {"kernel": jax.ShapeDtypeStruct(
-          (768, 768), jnp.float32)}},
+          (768, 12, 64), jnp.float32)},
+                  "out": {"kernel": jax.ShapeDtypeStruct(
+                      (12, 64, 768), jnp.float32)}},
+      "MlpBlock_0": {"Dense_0": {"kernel": jax.ShapeDtypeStruct(
+          (768, 3072), jnp.float32)}},
       "bias_tree": {"bias": jax.ShapeDtypeStruct((768,), jnp.float32)},
   }
   sh = parallel.infer_sharding(tree, mesh, "tensor_parallel")
-  assert sh["Encoder"]["query"]["kernel"].spec == P(None, "tensor")
+  assert sh["Encoder"]["query"]["kernel"].spec == P(None, "tensor", None)
+  assert sh["Encoder"]["out"]["kernel"].spec == P("tensor", None, None)
+  assert sh["MlpBlock_0"]["Dense_0"]["kernel"].spec == P(None, "tensor")
   assert sh["bias_tree"]["bias"].spec == P()
+
+
+def test_tensor_parallel_model_forward_matches_replicated():
+  """A tiny AE fwd under TP sharding equals the replicated result."""
+  import jax.numpy as jnp2
+  from small_vision_tpu.models import ae as ae_mod
+  from small_vision_tpu.parallel.ctx import activate_mesh
+
+  model = ae_mod._ViTAE(width=64, depth=2, dec_depth=1, num_heads=4,
+                        img_size=16, patch_size=(4, 4), scan=False,
+                        adaln=True, dtype_mm="float32")
+  x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 16, 3))
+  t = jnp2.zeros((4,), jnp2.int32)
+  rngs = {"params": jax.random.PRNGKey(0),
+          "mae_noise": jax.random.PRNGKey(1)}
+  params = model.init(rngs, x, t=t, train=False, mask=0.0)["params"]
+
+  def fwd(p, x):
+    pred, _ = model.apply({"params": p}, x, t=t, train=False, mask=0.0)
+    return pred
+
+  ref = jax.jit(fwd)(params, x)
+
+  mesh = parallel.make_mesh(data=4, tensor=2)
+  tp_shardings = parallel.infer_sharding(params, mesh, "tensor_parallel")
+  p_tp = parallel.reshard(params, tp_shardings)
+  x_tp = parallel.reshard(np.asarray(x), parallel.batch_sharding(mesh))
+  with activate_mesh(mesh):
+    out = jax.jit(fwd)(p_tp, x_tp)
+  np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                             rtol=1e-4, atol=1e-5)
