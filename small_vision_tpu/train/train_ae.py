@@ -409,16 +409,52 @@ def train_and_evaluate(config, workdir: Optional[str] = None, mesh=None):
                                                train_state["params"])
       train_state_sharding["ema_params"] = params_sharding
 
-    # Checkpoint resume.
+    # Checkpoint resume. A finetune run writes to its own subdirectory
+    # (reference: checkpoint_finetune.bv, train_ae.py:284-285); on its first
+    # start it performs "surgery" on the pretrain checkpoint: fresh label
+    # embedder/trunk + fresh optimizer (reference :222-261). Chrono scalars
+    # ride along at save time only (the jitted step never sees them).
+    ckpt_extra = lambda: {"chrono": chrono.save()}
+    ckpt_dir = workdir
+    if workdir and config.get("finetune"):
+      import os
+      ckpt_dir = os.path.join(workdir, "finetune")
+
     ckpt_mngr = None
-    if workdir and (config.get("save_ckpt", True) or config.get("resume")):
+    if ckpt_dir and (config.get("save_ckpt", True) or config.get("resume")):
       ckpt_mngr = ckpt_lib.make_manager(
-          workdir, keep_period=get_steps("keep_ckpt", None))
-      abstract = ckpt_lib.abstract_like(train_state, train_state_sharding)
+          ckpt_dir, keep_period=get_steps("keep_ckpt", None))
+      abstract = ckpt_lib.abstract_like(
+          {**train_state, **ckpt_extra()},
+          {**train_state_sharding, "chrono": repl})
       restored = ckpt_lib.restore(ckpt_mngr, abstract)
       if restored is not None:
         _info(f"Resumed from step {ckpt_mngr.latest_step()}")
+        chrono.load(restored.pop("chrono"))
         train_state = restored
+      elif config.get("finetune") or config.get("resume"):
+        # First finetune start (or explicit resume path): pull params (+ema)
+        # from the pretrain checkpoint, keep fresh label head + optimizer.
+        src_dir = config.get("resume") or workdir
+        src_mngr = (ckpt_lib.make_manager(src_dir)
+                    if src_dir != ckpt_dir else ckpt_mngr)
+        if src_mngr.latest_step() is not None:
+          _info(f"Finetune surgery from {src_dir} "
+                f"step {src_mngr.latest_step()}")
+          fresh = ("label_embed", "label_trunk")
+          loaded = ckpt_lib.restore_subtree(
+              src_mngr, "params",
+              ckpt_lib.abstract_like(
+                  {k: v for k, v in train_state["params"].items()
+                   if k not in fresh},
+                  {k: v for k, v in params_sharding.items()
+                   if k not in fresh}))
+          train_state["params"] = {**train_state["params"], **loaded}
+          if "ema_params" in train_state:
+            train_state["ema_params"] = jax.tree.map(
+                jnp.copy, train_state["params"])
+          train_state["opt"] = jax.jit(
+              tx.init, out_shardings=opt_sharding)(train_state["params"])
 
     update_fn = make_update_fn(model, tx, config, device_pp, mesh,
                                train_state_sharding, vae_encode=vae_encode)
@@ -488,11 +524,28 @@ def train_and_evaluate(config, workdir: Optional[str] = None, mesh=None):
     ckpt_steps = get_steps("ckpt", None)
 
     train_it = iter(train_iter)
+
+    if config.get("profile_flops"):
+      # Static cost analysis of the compiled step (reference :618-625).
+      example_batch = next(train_it)
+      compiled = update_fn.lower(train_state, example_batch).compile()
+      ca = compiled.cost_analysis()
+      ca = ca[0] if isinstance(ca, list) else ca
+      gflops = ca.get("flops", 0) / 1e9
+      _info(f"Estimated GFLOPs per step: {gflops:.1f}")
+      mw.measure("gflops", gflops)
+
+    prof = None
     for step in range(first_step + 1, total_steps + 1):
       batch = next(train_it)
       mw.step_start(step)
       with jax.profiler.StepTraceAnnotation("train_step", step_num=step):
         train_state, measurements = update_fn(train_state, batch)
+
+      if config.get("profile") and jax.process_index() == 0:
+        from small_vision_tpu.utils.misc import startstop_prof
+        prof = startstop_prof(prof, step, first_step, log_steps,
+                              workdir=workdir)
 
       if itstime(step, log_steps, total_steps, host=0):
         measurements = jax.device_get(measurements)
@@ -508,7 +561,10 @@ def train_and_evaluate(config, workdir: Optional[str] = None, mesh=None):
       if ckpt_mngr and config.get("save_ckpt", True) and itstime(
           step, ckpt_steps, total_steps, first=False):
         chrono.pause(wait_for=jax.tree.leaves(train_state["params"]))
-        ckpt_lib.save(ckpt_mngr, train_state, step)
+        from small_vision_tpu.parallel.collectives import broadcast_one_to_all
+        ckpt = {**train_state,
+                "chrono": broadcast_one_to_all(ckpt_extra()["chrono"])}
+        ckpt_lib.save(ckpt_mngr, ckpt, step)
         chrono.resume()
 
       for (name, evaluator, ev_steps, prefix) in evaluators:
