@@ -34,53 +34,45 @@ def xla_attention(q, k, v):
                     preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len):
-  """One (batch, head-block) tile: full-sequence fused attention in VMEM.
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len, num_heads):
+  """One batch row, ALL heads: full-sequence fused attention in VMEM.
 
-  Block shapes: q/k/v/o = [HB, Lp, D] with Lp = padded seq len. Padded key
-  positions are masked to -inf before the softmax; padded query rows compute
-  garbage that the caller slices off.
+  Block shapes: q/k/v/o = [H, Lp, Dp] (bf16 in VMEM). Per head: scores +
+  softmax in fp32 registers/VMEM, probs cast to bf16 for the PV matmul.
+  Padded key positions are masked to -inf; padded query rows compute garbage
+  the caller slices off. Nothing of size (L, L) ever touches HBM.
   """
-  q = q_ref[:].astype(jnp.float32)
-  k = k_ref[:].astype(jnp.float32)
-  v = v_ref[:].astype(jnp.float32)
-
-  # scores[h, i, j] over the head block; batch dim of dot_general = heads.
-  scores = jax.lax.dot_general(
-      q, k, (((2,), (2,)), ((0,), (0,))),
-      preferred_element_type=jnp.float32) * scale
-
   lp = q_ref.shape[1]
-  key_pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lp), dimension=2)
-  scores = jnp.where(key_pos < seq_len, scores, -jnp.inf)
+  key_pos = jax.lax.broadcasted_iota(jnp.int32, (1, lp), dimension=1)
+  key_mask = key_pos < seq_len
 
-  m = jnp.max(scores, axis=-1, keepdims=True)
-  e = jnp.exp(scores - m)
-  probs = e / jnp.sum(e, axis=-1, keepdims=True)
-
-  out = jax.lax.dot_general(
-      probs, v, (((2,), (1,)), ((0,), (0,))),
-      preferred_element_type=jnp.float32)
-  o_ref[:] = out.astype(o_ref.dtype)
+  for head in range(num_heads):  # Unrolled: num_heads is static & small.
+    q = q_ref[head]
+    k = k_ref[head]
+    v = v_ref[head]
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    scores = jnp.where(key_mask, scores, -jnp.inf)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q_ref.dtype)
+    o_ref[head] = jax.lax.dot_general(
+        probs, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pallas_attention(q, k, v, interpret=False):
   """Fused TPU attention for short sequences. Shapes [B,L,H,D].
 
-  Pads L up to a lane multiple and D to 128, runs one grid step per
-  (batch, head-block), then slices the padding back off.
+  Pads L and D up to lane multiples, runs one grid step per batch row with
+  all heads resident in VMEM, then slices the padding back off.
   """
   b, l, h, d = q.shape
   lp = _round_up(l, 128)
   dp = _round_up(d, 128)
   scale = 1.0 / np.sqrt(d)
-
-  # Heads per block: keep the block's VMEM footprint modest
-  # (3 inputs + out + scores ≈ hb*(4*lp*dp + lp*lp) * 4B).
-  hb = 1
-  while h % (hb * 2) == 0 and hb * 2 * (4 * lp * dp + lp * lp) * 4 < 2**22:
-    hb *= 2
 
   def pad(x):
     x = jnp.transpose(x, (0, 2, 1, 3))  # [B,H,L,D]
@@ -88,20 +80,23 @@ def pallas_attention(q, k, v, interpret=False):
 
   qp, kp, vp = pad(q), pad(k), pad(v)
 
-  grid = (b, h // hb)
-  spec = pl.BlockSpec((1, hb, lp, dp), lambda i, j: (i, j, 0, 0),
+  spec = pl.BlockSpec((1, h, lp, dp), lambda i: (i, 0, 0, 0),
                       memory_space=pltpu.VMEM)
-  # Squeeze the leading batch block dim inside the kernel via index 0.
+
   def kernel(q_ref, k_ref, v_ref, o_ref):
     _attn_kernel(q_ref.at[0], k_ref.at[0], v_ref.at[0], o_ref.at[0],
-                 scale=scale, seq_len=l)
+                 scale=scale, seq_len=l, num_heads=h)
 
+  flops = 2 * 2 * h * lp * lp * dp * b
   out = pl.pallas_call(
       kernel,
-      grid=grid,
+      grid=(b,),
       in_specs=[spec, spec, spec],
       out_specs=spec,
       out_shape=jax.ShapeDtypeStruct((b, h, lp, dp), q.dtype),
+      cost_estimate=pl.CostEstimate(
+          flops=flops, bytes_accessed=4 * b * h * lp * dp * 2,
+          transcendentals=b * h * lp * lp),
       interpret=interpret,
   )(qp, kp, vp)
 
@@ -110,46 +105,45 @@ def pallas_attention(q, k, v, interpret=False):
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                     *, scale, seq_len):
-  """Fused attention backward for one (batch, head-block) tile.
+                     *, scale, seq_len, num_heads):
+  """Fused attention backward for one batch row (all heads in VMEM).
 
-  Recomputes S/P in VMEM (flash-style), then
+  Recomputes S/P flash-style, then
     dV = Pᵀ dO;  dP = dO Vᵀ;  dS = P ∘ (dP − rowsum(dP∘P));
     dQ = dS K·scale;  dK = dSᵀ Q·scale.
   Nothing of size (L,L) ever touches HBM.
   """
-  q = q_ref[:].astype(jnp.float32)
-  k = k_ref[:].astype(jnp.float32)
-  v = v_ref[:].astype(jnp.float32)
-  do = do_ref[:].astype(jnp.float32)
-
-  bd = (((2,), (2,)), ((0,), (0,)))          # contract D, batch over heads
-  scores = jax.lax.dot_general(q, k, bd,
-                               preferred_element_type=jnp.float32) * scale
   lp = q_ref.shape[1]
-  key_pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lp), dimension=2)
-  scores = jnp.where(key_pos < seq_len, scores, -jnp.inf)
-  m = jnp.max(scores, axis=-1, keepdims=True)
-  e = jnp.exp(scores - m)
-  p = e / jnp.sum(e, axis=-1, keepdims=True)        # (H, L, L)
+  key_pos = jax.lax.broadcasted_iota(jnp.int32, (1, lp), dimension=1)
+  key_mask = key_pos < seq_len
+  f32 = jnp.float32
 
-  # dV[h] = P[h]ᵀ @ dO[h] → contract over query dim (axis 1 of both).
-  dv = jax.lax.dot_general(p, do, (((1,), (1,)), ((0,), (0,))),
-                           preferred_element_type=jnp.float32)
-  # dP[h] = dO[h] @ V[h]ᵀ → contract over D.
-  dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
-                           preferred_element_type=jnp.float32)
-  ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-  # dQ[h] = dS[h] @ K[h] → contract over key dim.
-  dq = jax.lax.dot_general(ds, k, (((2,), (1,)), ((0,), (0,))),
-                           preferred_element_type=jnp.float32) * scale
-  # dK[h] = dS[h]ᵀ @ Q[h] → contract over query dim.
-  dk = jax.lax.dot_general(ds, q, (((1,), (1,)), ((0,), (0,))),
-                           preferred_element_type=jnp.float32) * scale
+  for head in range(num_heads):
+    q, k, v, do = q_ref[head], k_ref[head], v_ref[head], do_ref[head]
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=f32) * scale
+    scores = jnp.where(key_mask, scores, -jnp.inf)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)       # (L, L) fp32
+    pb = p.astype(q_ref.dtype)
 
-  dq_ref[:] = dq.astype(dq_ref.dtype)
-  dk_ref[:] = dk.astype(dk_ref.dtype)
-  dv_ref[:] = dv.astype(dv_ref.dtype)
+    # dV = Pᵀ @ dO (contract query dim).
+    dv = jax.lax.dot_general(pb, do, (((0,), (0,)), ((), ())),
+                             preferred_element_type=f32)
+    # dP = dO @ Vᵀ (contract D).
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=f32)
+    ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+          ).astype(q_ref.dtype)
+    dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                             preferred_element_type=f32) * scale
+    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=f32) * scale
+
+    dq_ref[head] = dq.astype(dq_ref.dtype)
+    dk_ref[head] = dk.astype(dk_ref.dtype)
+    dv_ref[head] = dv.astype(dv_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -158,30 +152,30 @@ def _pallas_attention_bwd_impl(q, k, v, do, interpret=False):
   lp = _round_up(l, 128)
   dp_ = _round_up(d, 128)
   scale = 1.0 / np.sqrt(d)
-  hb = 1
-  while h % (hb * 2) == 0 and hb * 2 * (6 * lp * dp_ + 3 * lp * lp) * 4 < 2**22:
-    hb *= 2
 
   def pad(x):
     x = jnp.transpose(x, (0, 2, 1, 3))
     return jnp.pad(x, ((0, 0), (0, 0), (0, lp - l), (0, dp_ - d)))
 
   qp, kp, vp, dop = pad(q), pad(k), pad(v), pad(do)
-  grid = (b, h // hb)
-  spec = pl.BlockSpec((1, hb, lp, dp_), lambda i, j: (i, j, 0, 0),
+  spec = pl.BlockSpec((1, h, lp, dp_), lambda i: (i, 0, 0, 0),
                       memory_space=pltpu.VMEM)
 
   def kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
     _attn_bwd_kernel(q_ref.at[0], k_ref.at[0], v_ref.at[0], do_ref.at[0],
                      dq_ref.at[0], dk_ref.at[0], dv_ref.at[0],
-                     scale=scale, seq_len=l)
+                     scale=scale, seq_len=l, num_heads=h)
 
   shp = jax.ShapeDtypeStruct((b, h, lp, dp_), q.dtype)
+  flops = 5 * 2 * h * lp * lp * dp_ * b
   dq, dk, dv = pl.pallas_call(
-      kernel, grid=grid,
+      kernel, grid=(b,),
       in_specs=[spec, spec, spec, spec],
       out_specs=(spec, spec, spec),
       out_shape=(shp, shp, shp),
+      cost_estimate=pl.CostEstimate(
+          flops=flops, bytes_accessed=7 * b * h * lp * dp_ * 2,
+          transcendentals=b * h * lp * lp),
       interpret=interpret,
   )(qp, kp, vp, dop)
 
