@@ -161,24 +161,31 @@ def get_decode_jpeg_and_inception_crop(size=None, area_min: int = 5,
   def _op(image, data):
     rng = _rng_of(data)
     if isinstance(image, np.ndarray) and image.dtype == np.uint8:
-      img = image
-    else:
-      raw = bytes(image) if not isinstance(image, bytes) else image
-      with Image.open(io.BytesIO(raw)) as im:
-        w, h = im.size
-        y0, x0, ch, cw = _sample_inception_box(rng, h, w, area_min, area_max)
-        # Decode only the crop region (PIL lazy-decodes until .crop/.load).
-        img = np.asarray(
-            im.convert("RGB").crop((x0, y0, x0 + cw, y0 + ch)))
-        if size is not None:
-          img = _resize_np(img, size, method)
-        return img
-    y0, x0, ch, cw = _sample_inception_box(
-        rng, img.shape[0], img.shape[1], area_min, area_max)
-    img = img[y0:y0 + ch, x0:x0 + cw]
+      # Already decoded (e.g. synthetic source): crop + resize only.
+      y0, x0, ch, cw = _sample_inception_box(
+          rng, image.shape[0], image.shape[1], area_min, area_max)
+      img = image[y0:y0 + ch, x0:x0 + cw]
+      return _resize_np(img, size, method) if size is not None else img
+
+    raw = bytes(image) if not isinstance(image, bytes) else image
+    # Fast path: native fused decode+crop+resize (releases the GIL; decodes
+    # at reduced libjpeg scale — see data/_native/sv_dataloader.cpp).
     if size is not None:
-      img = _resize_np(img, size, method)
-    return img
+      from small_vision_tpu.data import native_jpeg
+      if native_jpeg.available():
+        try:
+          return native_jpeg.decode_inception_crop(
+              raw, size[0], size[1], area_min / 100, area_max / 100,
+              seed=int(rng.integers(0, 2**63)))
+        except ValueError:
+          pass  # Corrupt/exotic file: fall through to PIL.
+    with Image.open(io.BytesIO(raw)) as im:
+      w, h = im.size
+      y0, x0, ch, cw = _sample_inception_box(rng, h, w, area_min, area_max)
+      img = np.asarray(im.convert("RGB").crop((x0, y0, x0 + cw, y0 + ch)))
+      if size is not None:
+        img = _resize_np(img, size, method)
+      return img
   return _op
 
 
