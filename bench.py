@@ -4,32 +4,41 @@ Prints ONE JSON line:
   {"metric": "train imgs/sec/chip (UMD-B/4@64)", "value": N,
    "unit": "imgs/sec/chip", "vs_baseline": R, ...extras}
 
-`vs_baseline` compares the TPU-native configuration (bf16 matmuls, fused
-device pp, donated buffers) against a same-chip run in the reference's
-compute configuration (fp32 matmuls — /root/reference/big_vision/models/
-ae.py:51 `dtype_mm="float32"` default), since the reference publishes no
-throughput numbers (BASELINE.md).
+`vs_baseline` compares the TPU-native configuration (bf16 matmuls + bf16
+residual stream, fused Pallas attention, device-side fused preprocessing of
+uint8 batches) against a same-chip run in the reference's configuration
+(fp32 compute — /root/reference/big_vision/models/ae.py:51 — stock XLA
+attention, host-side preprocessing with float32 host→device transfers),
+since the reference publishes no throughput numbers (BASELINE.md).
 
 Env knobs: SV_BENCH_BATCH (default 256), SV_BENCH_STEPS (default 20),
-SV_BENCH_SKIP_BASELINE=1, SV_BENCH_SAMPLER=0.
+SV_BENCH_ATTN (xla|pallas, default pallas), SV_BENCH_SKIP_BASELINE=1,
+SV_BENCH_SAMPLER=0.
 """
 
-import functools
 import json
 import os
 import time
 
 import jax
+
+if os.environ.get("SV_BENCH_CACHE", "1") == "1":
+  os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+  jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+  jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
 
-def _build_step(dtype_mm: str, batch_size: int, attn_impl: str = "xla"):
+def _build_step(mode: str, batch_size: int, attn_impl: str = "xla"):
+  """mode: 'native' (TPU-first config) or 'reference' (reference config)."""
   import ml_collections as mlc
   from small_vision_tpu import optim, parallel
   from small_vision_tpu.ops import diffusion as gd_lib
   from small_vision_tpu.train import train_ae
 
+  native = mode == "native"
   config = mlc.ConfigDict()
   config.diffusion_space = (64, 64, 3)
   config.no_noise_prob = 0.5
@@ -37,16 +46,18 @@ def _build_step(dtype_mm: str, batch_size: int, attn_impl: str = "xla"):
   config.mask_ratio_no_noise = 0.75
   config.use_labels = False
   config.diff_schedule = dict(beta_schedule="cosine", timesteps=1000)
-  config.model = dict(variant="B/4", img_size=64, scan=True, adaln=True,
-                      dtype_mm=dtype_mm, attn_impl=attn_impl,
-                      remat_policy="nothing_saveable")
+  config.model = dict(
+      variant="B/4", img_size=64, scan=True, adaln=True,
+      dtype_mm="bfloat16" if native else "float32",
+      attn_impl=attn_impl if native else "xla",
+      remat_policy="nothing_saveable")
 
   mesh = parallel.make_mesh()
   model = train_ae.build_model(config)
 
   def init(rng):
-    fake = jnp.zeros((batch_size,) + (64, 64, 3), jnp.float32)
-    ts = jnp.zeros((batch_size,), jnp.int32)
+    fake = jnp.zeros((2,) + (64, 64, 3), jnp.float32)
+    ts = jnp.zeros((2,), jnp.int32)
     rngs = {"params": rng, "dropout": rng, "mae_noise": rng, "cfg": rng}
     return model.init(rngs, fake, t=ts, train=True, mask=0.75)["params"]
 
@@ -71,40 +82,56 @@ def _build_step(dtype_mm: str, batch_size: int, attn_impl: str = "xla"):
   train_state_sharding = {"params": params_sharding, "opt": opt_sharding,
                           "rng": repl, "gd": jax.tree.map(lambda _: repl, gd)}
 
-  # Device pp (uint8 → flip → value_range) fused into the step, as in
-  # training; the reference did this work on the host CPU instead.
-  from small_vision_tpu.pp.builder import get_preprocess_fn
-  import small_vision_tpu.pp.ops_general  # noqa: F401
-  import small_vision_tpu.pp.ops_image  # noqa: F401
-  _, device_pp = get_preprocess_fn('flip_lr|value_range(-1, 1)')
+  rng = np.random.default_rng(0)
+  raw = rng.integers(0, 256, (batch_size, 64, 64, 3), dtype=np.uint8)
+
+  if native:
+    # Device pp fused into the step; raw uint8 crosses the wire.
+    from small_vision_tpu.pp.builder import get_preprocess_fn
+    import small_vision_tpu.pp.ops_general  # noqa: F401
+    import small_vision_tpu.pp.ops_image  # noqa: F401
+    _, device_pp = get_preprocess_fn("flip_lr|value_range(-1, 1)")
+    host_batch = {"image": raw}
+  else:
+    # Reference-style: host does flip+value_range in numpy, ships float32.
+    device_pp = None
+    flip = rng.random(batch_size) < 0.5
+    img = raw.astype(np.float32) / 127.5 - 1.0
+    img[flip] = img[flip, :, ::-1]
+    host_batch = {"image": img}
 
   update_fn = train_ae.make_update_fn(
       model, tx, config, device_pp, mesh, train_state_sharding)
 
-  rng = np.random.default_rng(0)
-  batch = {"image": rng.integers(0, 256, (batch_size, 64, 64, 3),
-                                 dtype=np.uint8)}
   batch = jax.tree.map(
       lambda x: jax.make_array_from_process_local_data(
-          parallel.batch_sharding(mesh), x), batch)
-  return update_fn, train_state, batch, model, mesh
+          parallel.batch_sharding(mesh), x), host_batch)
+  return update_fn, train_state, batch, host_batch, mesh
 
 
-def _time_train(dtype_mm, batch_size, steps, attn_impl="xla"):
-  update_fn, train_state, batch, _, _ = _build_step(
-      dtype_mm, batch_size, attn_impl)
-  fresh = lambda: jax.tree.map(jnp.copy, batch)
-  # Warmup/compile. NOTE: on the tunneled 'axon' backend, block_until_ready
-  # on an output does not reliably cover compile+execute, so we device_get a
-  # scalar each step — an honest sync that trainers do on log steps anyway.
+def _time_train(mode, batch_size, steps, attn_impl="xla"):
+  from small_vision_tpu import parallel
+  update_fn, train_state, batch, host_batch, mesh = _build_step(
+      mode, batch_size, attn_impl)
+  sharding = parallel.batch_sharding(mesh)
+
+  def fresh():
+    # Includes the host→device transfer each step, like real training
+    # (reference-style mode pays 4x the bytes for f32).
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x),
+        host_batch)
+
   for _ in range(3):
     train_state, m = update_fn(train_state, fresh())
     float(jax.device_get(m["training_loss"]))
+  # Chained steps with one closing sync: block_until_ready is unreliable on
+  # the tunneled backend, but device_get of a scalar output of the LAST step
+  # transitively waits for the whole chain (state dependency).
   t0 = time.perf_counter()
-  loss = 0.0
   for _ in range(steps):
     train_state, m = update_fn(train_state, fresh())
-    loss = float(jax.device_get(m["training_loss"]))
+  loss = float(jax.device_get(m["training_loss"]))
   dt = time.perf_counter() - t0
   assert np.isfinite(loss), f"bench loss not finite: {loss}"
   return batch_size * steps / dt
@@ -127,7 +154,8 @@ def _time_sampler(batch_size=64, sampling_steps=125):
                               clip_denoised=True)
   config.mask_ratio_no_noise = 0.75
   config.model = dict(variant="B/4", img_size=64, scan=True, adaln=True,
-                      dtype_mm="bfloat16")
+                      dtype_mm="bfloat16",
+                      attn_impl=os.environ.get("SV_BENCH_ATTN", "pallas"))
 
   model = train_ae.build_model(config)
   rng = jax.random.PRNGKey(0)
@@ -139,11 +167,11 @@ def _time_sampler(batch_size=64, sampling_steps=125):
 
   eval_fns = train_ae.make_eval_fns(model, config)
   sample_fn = jax.jit(eval_fns["uncond_eps"])
-  out = sample_fn(train_state, jax.random.PRNGKey(1))  # compile
-  jax.block_until_ready(out["fid_samples"])
+  out = sample_fn(train_state, jax.random.PRNGKey(1))
+  float(jax.device_get(out["fid_samples"][0, 0, 0, 0]).astype(np.float32))
   t0 = time.perf_counter()
   out = sample_fn(train_state, jax.random.PRNGKey(2))
-  jax.block_until_ready(out["fid_samples"])
+  float(jax.device_get(out["fid_samples"][0, 0, 0, 0]).astype(np.float32))
   dt = time.perf_counter() - t0
   return batch_size / dt
 
@@ -151,15 +179,15 @@ def _time_sampler(batch_size=64, sampling_steps=125):
 def main():
   batch = int(os.environ.get("SV_BENCH_BATCH", 256))
   steps = int(os.environ.get("SV_BENCH_STEPS", 20))
+  attn = os.environ.get("SV_BENCH_ATTN", "pallas")
   n_chips = jax.device_count()
 
-  native = _time_train("bfloat16", batch, steps)
-  extras = {}
+  native = _time_train("native", batch, steps, attn_impl=attn)
+  extras = {"attn_impl": attn}
 
   if os.environ.get("SV_BENCH_SKIP_BASELINE", "0") != "1":
-    ref_mode = _time_train("float32", batch, max(steps // 2, 5))
-    extras["ref_mode_fp32_imgs_per_sec_per_chip"] = round(
-        ref_mode / n_chips, 2)
+    ref_mode = _time_train("reference", batch, max(steps // 2, 5))
+    extras["ref_mode_imgs_per_sec_per_chip"] = round(ref_mode / n_chips, 2)
     vs_baseline = native / ref_mode
   else:
     vs_baseline = 1.0

@@ -46,7 +46,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len, num_heads):
   key_pos = jax.lax.broadcasted_iota(jnp.int32, (1, lp), dimension=1)
   key_mask = key_pos < seq_len
 
-  for head in range(num_heads):  # Unrolled: num_heads is static & small.
+  def head_body(head, _):
+    # fori_loop (not an unrolled Python loop) so Mosaic reuses one set of
+    # (L, L) fp32 score buffers across heads — unrolling 12 heads at
+    # Lp=384 overflows VMEM.
     q = q_ref[head]
     k = k_ref[head]
     v = v_ref[head]
@@ -60,6 +63,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len, num_heads):
     o_ref[head] = jax.lax.dot_general(
         probs, v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    return 0
+
+  jax.lax.fori_loop(0, num_heads, head_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -118,7 +124,7 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
   key_mask = key_pos < seq_len
   f32 = jnp.float32
 
-  for head in range(num_heads):
+  def head_body(head, _):
     q, k, v, do = q_ref[head], k_ref[head], v_ref[head], do_ref[head]
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=f32) * scale
@@ -144,6 +150,9 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     dq_ref[head] = dq.astype(dq_ref.dtype)
     dk_ref[head] = dk.astype(dk_ref.dtype)
     dv_ref[head] = dv.astype(dv_ref.dtype)
+    return 0
+
+  jax.lax.fori_loop(0, num_heads, head_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
