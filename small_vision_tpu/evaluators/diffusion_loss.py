@@ -49,7 +49,8 @@ class Evaluator:
       losses.append(float(jax.device_get(loss)))
       if firsts is None:
         firsts = jax.device_get((x_t, pred_x0, pred_x0_eps))
-    yield "loss", float(np.mean(losses))
+    from small_vision_tpu.parallel.collectives import process_allgather
+    yield "loss", float(np.mean(process_allgather(np.mean(losses))))
     if firsts is not None:
       x_t, pred_x0, pred_x0_eps = firsts
       yield "image_x_t", np.asarray(x_t)

@@ -49,7 +49,8 @@ class Evaluator:
       losses.append(float(jax.device_get(loss)))
       if firsts is None:
         firsts = jax.device_get((masked_img, recon))
-    yield "masked_mse", float(np.mean(losses))
+    from small_vision_tpu.parallel.collectives import process_allgather
+    yield "masked_mse", float(np.mean(process_allgather(np.mean(losses))))
     if firsts is not None:
       yield "image_masked", np.asarray(firsts[0])
       yield "image_reconstruction", np.asarray(firsts[1])
