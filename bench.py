@@ -182,7 +182,13 @@ def main():
   attn = os.environ.get("SV_BENCH_ATTN", "pallas")
   n_chips = jax.device_count()
 
-  native = _time_train("native", batch, steps, attn_impl=attn)
+  try:
+    native = _time_train("native", batch, steps, attn_impl=attn)
+  except Exception:  # noqa: BLE001 — e.g. remote Mosaic compile failure.
+    if attn == "xla":
+      raise
+    attn = "xla"
+    native = _time_train("native", batch, steps, attn_impl=attn)
   extras = {"attn_impl": attn}
 
   if os.environ.get("SV_BENCH_SKIP_BASELINE", "0") != "1":

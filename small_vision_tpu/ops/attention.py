@@ -23,6 +23,22 @@ def _round_up(x, m):
   return ((x + m - 1) // m) * m
 
 
+def _heads_per_block(h, lp, dp, n_io_blocks, budget=12 * 2**20):
+  """Largest head-count divisor whose VMEM footprint fits the budget.
+
+  Footprint ≈ double-buffered bf16 I/O blocks + ~4 fp32 (Lp, Lp) scratch
+  buffers for the per-head softmax math (fori_loop reuses them).
+  """
+  hb = h
+  while hb > 1:
+    io = n_io_blocks * hb * lp * dp * 2 * 2  # bf16, double-buffered
+    scratch = 4 * lp * lp * 4
+    if io + scratch <= budget and h % hb == 0:
+      return hb
+    hb -= 1
+  return 1
+
+
 def xla_attention(q, k, v):
   """Reference path: einsum attention, fp32 softmax. Shapes [B,L,H,D]."""
   depth = q.shape[-1]
@@ -76,8 +92,11 @@ def pallas_attention(q, k, v, interpret=False):
   all heads resident in VMEM, then slices the padding back off.
   """
   b, l, h, d = q.shape
-  lp = _round_up(l, 128)
-  dp = _round_up(d, 128)
+  # Pad L only to the bf16 sublane multiple; leave D logical — Mosaic pads
+  # sub-128 minor dims in VMEM for free, while HBM-materialized padding
+  # (L→128-mult, D→128) tripled the tensor traffic around the kernel.
+  lp = _round_up(l, 16)
+  dp = d
   scale = 1.0 / np.sqrt(d)
 
   def pad(x):
@@ -86,17 +105,18 @@ def pallas_attention(q, k, v, interpret=False):
 
   qp, kp, vp = pad(q), pad(k), pad(v)
 
-  spec = pl.BlockSpec((1, h, lp, dp), lambda i: (i, 0, 0, 0),
+  hb = _heads_per_block(h, lp, dp, n_io_blocks=4)
+  spec = pl.BlockSpec((1, hb, lp, dp), lambda i, j: (i, j, 0, 0),
                       memory_space=pltpu.VMEM)
 
   def kernel(q_ref, k_ref, v_ref, o_ref):
     _attn_kernel(q_ref.at[0], k_ref.at[0], v_ref.at[0], o_ref.at[0],
-                 scale=scale, seq_len=l, num_heads=h)
+                 scale=scale, seq_len=l, num_heads=hb)
 
   flops = 2 * 2 * h * lp * lp * dp * b
   out = pl.pallas_call(
       kernel,
-      grid=(b,),
+      grid=(b, h // hb),
       in_specs=[spec, spec, spec],
       out_specs=spec,
       out_shape=jax.ShapeDtypeStruct((b, h, lp, dp), q.dtype),
@@ -158,8 +178,8 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _pallas_attention_bwd_impl(q, k, v, do, interpret=False):
   b, l, h, d = q.shape
-  lp = _round_up(l, 128)
-  dp_ = _round_up(d, 128)
+  lp = _round_up(l, 16)
+  dp_ = d
   scale = 1.0 / np.sqrt(d)
 
   def pad(x):
@@ -167,18 +187,19 @@ def _pallas_attention_bwd_impl(q, k, v, do, interpret=False):
     return jnp.pad(x, ((0, 0), (0, 0), (0, lp - l), (0, dp_ - d)))
 
   qp, kp, vp, dop = pad(q), pad(k), pad(v), pad(do)
-  spec = pl.BlockSpec((1, h, lp, dp_), lambda i: (i, 0, 0, 0),
+  hb = _heads_per_block(h, lp, dp_, n_io_blocks=7)
+  spec = pl.BlockSpec((1, hb, lp, dp_), lambda i, j: (i, j, 0, 0),
                       memory_space=pltpu.VMEM)
 
   def kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
     _attn_bwd_kernel(q_ref.at[0], k_ref.at[0], v_ref.at[0], do_ref.at[0],
                      dq_ref.at[0], dk_ref.at[0], dv_ref.at[0],
-                     scale=scale, seq_len=l, num_heads=h)
+                     scale=scale, seq_len=l, num_heads=hb)
 
   shp = jax.ShapeDtypeStruct((b, h, lp, dp_), q.dtype)
   flops = 5 * 2 * h * lp * lp * dp_ * b
   dq, dk, dv = pl.pallas_call(
-      kernel, grid=(b,),
+      kernel, grid=(b, h // hb),
       in_specs=[spec, spec, spec, spec],
       out_specs=(spec, spec, spec),
       out_shape=(shp, shp, shp),
