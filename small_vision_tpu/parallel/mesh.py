@@ -60,6 +60,9 @@ def make_mesh(devices=None, *, data: int = -1, fsdp: int = 1,
   """
   devices = devices if devices is not None else jax.devices()
   n = len(devices)
+  if fsdp in (0, -1):  # "all devices on the fsdp axis" (pure ZeRO).
+    assert n % max(tensor, 1) == 0
+    fsdp, data = n // max(tensor, 1), 1
   sizes = {"fsdp": fsdp, "tensor": tensor}
   rest = int(np.prod([v for v in sizes.values()]))
   if data == -1:

@@ -24,6 +24,12 @@ def test_make_mesh_shapes():
   assert m3.axis_names == ("data", "fsdp", "tensor")
 
 
+def test_make_mesh_fsdp_all():
+  m = parallel.make_mesh(fsdp=0)
+  assert m.shape["fsdp"] == 8 and m.shape["data"] == 1
+  assert parallel.batch_sharding(m).spec == P(("data", "fsdp"))
+
+
 def test_infer_sharding_replicated_and_fsdp():
   mesh = parallel.make_mesh()
   tree = {

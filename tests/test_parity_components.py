@@ -92,6 +92,14 @@ def test_ae_i1k_config_variants():
   assert "sample_cond" in cond.evals
 
 
+def test_cli_parse_config():
+  from small_vision_tpu.cli import parse_config
+  for spec in ["ae_i1k.py:data=synthetic", "ae_i1k_lp.py:data=synthetic",
+               "eval_ae_i1k.py:data=synthetic", "ae_i1k"]:
+    c = parse_config(spec)
+    assert "input" in c
+
+
 def test_lp_and_eval_configs():
   lp = ae_i1k_lp.get_config("variant=B/4,data=synthetic")
   assert lp.num_classes == 1000 and lp.width == 768
