@@ -62,13 +62,20 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len, num_heads):
   key_pos = jax.lax.broadcasted_iota(jnp.int32, (1, lp), dimension=1)
   key_mask = key_pos < seq_len
 
-  def head_body(head, _):
-    # fori_loop (not an unrolled Python loop) so Mosaic reuses one set of
-    # (L, L) fp32 score buffers across heads — unrolling 12 heads at
-    # Lp=384 overflows VMEM.
-    q = q_ref[head]
-    k = k_ref[head]
-    v = v_ref[head]
+  # Load whole blocks as values once: Mosaic rejects REF slices whose minor
+  # dim (head_dim=64) is narrower than the 128-lane tiling, but value
+  # indexing along the head (major) dim is a legal stride-select.
+  q_all, k_all, v_all = q_ref[...], k_ref[...], v_ref[...]
+
+  # Static (unrolled) head loop: dynamic_slice on values isn't lowerable, and
+  # the VMEM cost of unrolling is capped by `_heads_per_block`. Outputs are
+  # stacked and written as ONE full-block store (ref slices at the 64-wide
+  # minor dim violate Mosaic's 128-lane tiling).
+  outs = []
+  for head in range(num_heads):
+    q = q_all[head]
+    k = k_all[head]
+    v = v_all[head]
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
@@ -76,12 +83,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len, num_heads):
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q_ref.dtype)
-    o_ref[head] = jax.lax.dot_general(
+    outs.append(jax.lax.dot_general(
         probs, v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(o_ref.dtype)
-    return 0
-
-  jax.lax.fori_loop(0, num_heads, head_body, 0)
+        preferred_element_type=jnp.float32).astype(o_ref.dtype))
+  o_ref[...] = jnp.stack(outs, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -144,8 +149,13 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
   key_mask = key_pos < seq_len
   f32 = jnp.float32
 
-  def head_body(head, _):
-    q, k, v, do = q_ref[head], k_ref[head], v_ref[head], do_ref[head]
+  # Value loads (see _attn_kernel): 64-wide minor dim forbids ref slicing.
+  q_all, k_all, v_all, do_all = (q_ref[...], k_ref[...], v_ref[...],
+                                 do_ref[...])
+
+  dqs, dks, dvs = [], [], []
+  for head in range(num_heads):  # Static loop (see _attn_kernel).
+    q, k, v, do = q_all[head], k_all[head], v_all[head], do_all[head]
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=f32) * scale
     scores = jnp.where(key_mask, scores, -jnp.inf)
@@ -167,12 +177,12 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                              preferred_element_type=f32) * scale
 
-    dq_ref[head] = dq.astype(dq_ref.dtype)
-    dk_ref[head] = dk.astype(dk_ref.dtype)
-    dv_ref[head] = dv.astype(dv_ref.dtype)
-    return 0
-
-  jax.lax.fori_loop(0, num_heads, head_body, 0)
+    dqs.append(dq.astype(dq_ref.dtype))
+    dks.append(dk.astype(dk_ref.dtype))
+    dvs.append(dv.astype(dv_ref.dtype))
+  dq_ref[...] = jnp.stack(dqs, axis=0)
+  dk_ref[...] = jnp.stack(dks, axis=0)
+  dv_ref[...] = jnp.stack(dvs, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
