@@ -35,6 +35,10 @@ def main(argv=None):
   parser.add_argument("--main", default="ae", choices=["ae", "lp_ae"])
   parser.add_argument("--jax_cache", default=".jax_cache",
                       help="persistent XLA compilation cache dir ('' = off)")
+  parser.add_argument("--transfer_guard", default=None,
+                      choices=[None, "allow", "log", "disallow"],
+                      help="catch implicit host<->device transfers "
+                           "(reference train_tpu.py:26's disabled guard)")
   args = parser.parse_args(argv)
 
   import jax
@@ -44,6 +48,8 @@ def main(argv=None):
                       os.path.abspath(args.jax_cache))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
   jax.config.update("jax_threefry_partitionable", True)
+  if args.transfer_guard:
+    jax.config.update("jax_transfer_guard", args.transfer_guard)
 
   from small_vision_tpu.parallel import init_distributed
   init_distributed()
