@@ -23,20 +23,28 @@ def _round_up(x, m):
   return ((x + m - 1) // m) * m
 
 
-def _heads_per_block(h, lp, dp, n_io_blocks, budget=12 * 2**20):
-  """Largest head-count divisor whose VMEM footprint fits the budget.
+def _block_dims(b, h, lp, dp, n_io_blocks, budget=10 * 2**20):
+  """Picks (batch_rows, heads) per block to fit VMEM while keeping DMAs fat.
 
-  Footprint ≈ double-buffered bf16 I/O blocks + ~4 fp32 (Lp, Lp) scratch
-  buffers for the per-head softmax math (fori_loop reuses them).
+  Footprint ≈ double-buffered bf16 I/O blocks + fp32 (Lp, Lp) scratch for
+  the unrolled per-head softmax math. Larger bb amortizes per-grid-step DMA
+  setup (tiny 100KB blocks run the kernels at ~1/8 of HBM bandwidth).
   """
-  hb = h
-  while hb > 1:
-    io = n_io_blocks * hb * lp * dp * 2 * 2  # bf16, double-buffered
-    scratch = 4 * lp * lp * 4
-    if io + scratch <= budget and h % hb == 0:
-      return hb
-    hb -= 1
-  return 1
+  best = (1, 1)
+  for bb in (8, 4, 2, 1):
+    if b % bb:
+      continue
+    for hb in range(h, 0, -1):
+      if h % hb:
+        continue
+      io = n_io_blocks * bb * hb * lp * dp * 2 * 2
+      scratch = 4 * lp * lp * 4 + bb * hb * lp * dp * 4
+      if io + scratch <= budget:
+        if bb * hb > best[0] * best[1] or (
+            bb * hb == best[0] * best[1] and bb > best[0]):
+          best = (bb, hb)
+        break
+  return best
 
 
 def xla_attention(q, k, v):
@@ -50,43 +58,41 @@ def xla_attention(q, k, v):
                     preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len, num_heads):
-  """One batch row, ALL heads: full-sequence fused attention in VMEM.
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len, bb, hb):
+  """One (batch-rows, head-block) tile: fused attention fully in VMEM.
 
-  Block shapes: q/k/v/o = [H, Lp, Dp] (bf16 in VMEM). Per head: scores +
-  softmax in fp32 registers/VMEM, probs cast to bf16 for the PV matmul.
-  Padded key positions are masked to -inf; padded query rows compute garbage
-  the caller slices off. Nothing of size (L, L) ever touches HBM.
+  Block shapes: q/k/v/o = [bb, hb, Lp, Dp] (bf16). Per (row, head): scores +
+  softmax in fp32, probs cast to bf16 for the PV matmul. Padded key
+  positions are masked to -inf; padded query rows compute garbage the caller
+  slices off. Nothing of size (L, L) ever touches HBM.
+
+  Mosaic constraints shaping this code: ref slices at the 64-wide minor dim
+  violate 128-lane tiling (so blocks load/store as whole values), and
+  dynamic_slice on values isn't lowerable (so the loops are static).
   """
-  lp = q_ref.shape[1]
+  lp = q_ref.shape[2]
   key_pos = jax.lax.broadcasted_iota(jnp.int32, (1, lp), dimension=1)
   key_mask = key_pos < seq_len
 
-  # Load whole blocks as values once: Mosaic rejects REF slices whose minor
-  # dim (head_dim=64) is narrower than the 128-lane tiling, but value
-  # indexing along the head (major) dim is a legal stride-select.
   q_all, k_all, v_all = q_ref[...], k_ref[...], v_ref[...]
 
-  # Static (unrolled) head loop: dynamic_slice on values isn't lowerable, and
-  # the VMEM cost of unrolling is capped by `_heads_per_block`. Outputs are
-  # stacked and written as ONE full-block store (ref slices at the 64-wide
-  # minor dim violate Mosaic's 128-lane tiling).
   outs = []
-  for head in range(num_heads):
-    q = q_all[head]
-    k = k_all[head]
-    v = v_all[head]
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
-    scores = jnp.where(key_mask, scores, -jnp.inf)
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q_ref.dtype)
-    outs.append(jax.lax.dot_general(
-        probs, v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(o_ref.dtype))
-  o_ref[...] = jnp.stack(outs, axis=0)
+  for i in range(bb):
+    for head in range(hb):
+      q = q_all[i, head]
+      k = k_all[i, head]
+      v = v_all[i, head]
+      scores = jax.lax.dot_general(
+          q, k, (((1,), (1,)), ((), ())),
+          preferred_element_type=jnp.float32) * scale
+      scores = jnp.where(key_mask, scores, -jnp.inf)
+      m = jnp.max(scores, axis=-1, keepdims=True)
+      e = jnp.exp(scores - m)
+      probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q_all.dtype)
+      outs.append(jax.lax.dot_general(
+          probs, v, (((1,), (0,)), ((), ())),
+          preferred_element_type=jnp.float32).astype(o_ref.dtype))
+  o_ref[...] = jnp.stack(outs, axis=0).reshape(o_ref.shape)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -110,18 +116,18 @@ def pallas_attention(q, k, v, interpret=False):
 
   qp, kp, vp = pad(q), pad(k), pad(v)
 
-  hb = _heads_per_block(h, lp, dp, n_io_blocks=4)
-  spec = pl.BlockSpec((1, hb, lp, dp), lambda i, j: (i, j, 0, 0),
+  bb, hb = _block_dims(b, h, lp, dp, n_io_blocks=4, budget=12 * 2**20)
+  spec = pl.BlockSpec((bb, hb, lp, dp), lambda i, j: (i, j, 0, 0),
                       memory_space=pltpu.VMEM)
 
   def kernel(q_ref, k_ref, v_ref, o_ref):
-    _attn_kernel(q_ref.at[0], k_ref.at[0], v_ref.at[0], o_ref.at[0],
-                 scale=scale, seq_len=l, num_heads=hb)
+    _attn_kernel(q_ref, k_ref, v_ref, o_ref,
+                 scale=scale, seq_len=l, bb=bb, hb=hb)
 
   flops = 2 * 2 * h * lp * lp * dp * b
   out = pl.pallas_call(
       kernel,
-      grid=(b, h // hb),
+      grid=(b // bb, h // hb),
       in_specs=[spec, spec, spec],
       out_specs=spec,
       out_shape=jax.ShapeDtypeStruct((b, h, lp, dp), q.dtype),
@@ -136,26 +142,28 @@ def pallas_attention(q, k, v, interpret=False):
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                     *, scale, seq_len, num_heads):
-  """Fused attention backward for one batch row (all heads in VMEM).
+                     *, scale, seq_len, bb, hb):
+  """Fused attention backward for one (batch-rows, head-block) tile.
 
   Recomputes S/P flash-style, then
     dV = Pᵀ dO;  dP = dO Vᵀ;  dS = P ∘ (dP − rowsum(dP∘P));
     dQ = dS K·scale;  dK = dSᵀ Q·scale.
-  Nothing of size (L,L) ever touches HBM.
+  Nothing of size (L,L) ever touches HBM. See _attn_kernel for the Mosaic
+  constraints shaping the value loads / static loops / stacked stores.
   """
-  lp = q_ref.shape[1]
+  lp = q_ref.shape[2]
   key_pos = jax.lax.broadcasted_iota(jnp.int32, (1, lp), dimension=1)
   key_mask = key_pos < seq_len
   f32 = jnp.float32
 
-  # Value loads (see _attn_kernel): 64-wide minor dim forbids ref slicing.
   q_all, k_all, v_all, do_all = (q_ref[...], k_ref[...], v_ref[...],
                                  do_ref[...])
 
   dqs, dks, dvs = [], [], []
-  for head in range(num_heads):  # Static loop (see _attn_kernel).
-    q, k, v, do = q_all[head], k_all[head], v_all[head], do_all[head]
+  for i in range(bb):
+   for head in range(hb):
+    q, k, v, do = (q_all[i, head], k_all[i, head], v_all[i, head],
+                   do_all[i, head])
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=f32) * scale
     scores = jnp.where(key_mask, scores, -jnp.inf)
@@ -180,9 +188,9 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     dqs.append(dq.astype(dq_ref.dtype))
     dks.append(dk.astype(dk_ref.dtype))
     dvs.append(dv.astype(dv_ref.dtype))
-  dq_ref[...] = jnp.stack(dqs, axis=0)
-  dk_ref[...] = jnp.stack(dks, axis=0)
-  dv_ref[...] = jnp.stack(dvs, axis=0)
+  dq_ref[...] = jnp.stack(dqs, axis=0).reshape(dq_ref.shape)
+  dk_ref[...] = jnp.stack(dks, axis=0).reshape(dk_ref.shape)
+  dv_ref[...] = jnp.stack(dvs, axis=0).reshape(dv_ref.shape)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -197,19 +205,18 @@ def _pallas_attention_bwd_impl(q, k, v, do, interpret=False):
     return jnp.pad(x, ((0, 0), (0, 0), (0, lp - l), (0, dp_ - d)))
 
   qp, kp, vp, dop = pad(q), pad(k), pad(v), pad(do)
-  hb = _heads_per_block(h, lp, dp_, n_io_blocks=7)
-  spec = pl.BlockSpec((1, hb, lp, dp_), lambda i, j: (i, j, 0, 0),
+  bb, hb = _block_dims(b, h, lp, dp_, n_io_blocks=7, budget=10 * 2**20)
+  spec = pl.BlockSpec((bb, hb, lp, dp_), lambda i, j: (i, j, 0, 0),
                       memory_space=pltpu.VMEM)
 
   def kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
-    _attn_bwd_kernel(q_ref.at[0], k_ref.at[0], v_ref.at[0], do_ref.at[0],
-                     dq_ref.at[0], dk_ref.at[0], dv_ref.at[0],
-                     scale=scale, seq_len=l, num_heads=hb)
+    _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                     scale=scale, seq_len=l, bb=bb, hb=hb)
 
   shp = jax.ShapeDtypeStruct((b, h, lp, dp_), q.dtype)
   flops = 5 * 2 * h * lp * lp * dp_ * b
   dq, dk, dv = pl.pallas_call(
-      kernel, grid=(b, h // hb),
+      kernel, grid=(b // bb, h // hb),
       in_specs=[spec, spec, spec, spec],
       out_specs=(spec, spec, spec),
       out_shape=(shp, shp, shp),
