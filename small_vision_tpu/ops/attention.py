@@ -48,14 +48,18 @@ def _block_dims(b, h, lp, dp, n_io_blocks, budget=10 * 2**20):
 
 
 def xla_attention(q, k, v):
-  """Reference path: einsum attention, fp32 softmax. Shapes [B,L,H,D]."""
+  """Reference path: einsum attention, fp32 softmax. Shapes [B,L,H,D].
+
+  The 1/sqrt(d) scale folds into q BEFORE the einsum: scaling the (B,L,H,D)
+  operand is 4·L/L² times cheaper than scaling the (B,H,L,L) logits.
+  """
   depth = q.shape[-1]
-  scale = 1.0 / np.sqrt(depth)
+  q = q * jnp.asarray(1.0 / np.sqrt(depth), q.dtype)
   logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                      preferred_element_type=jnp.float32) * scale
-  probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-  return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v,
-                    preferred_element_type=jnp.float32).astype(q.dtype)
+                      preferred_element_type=jnp.float32)
+  probs = jax.nn.softmax(logits, axis=-1)
+  return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+                    preferred_element_type=jnp.float32).astype(v.dtype)
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len, bb, hb):
