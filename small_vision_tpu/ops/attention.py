@@ -23,12 +23,17 @@ def _round_up(x, m):
   return ((x + m - 1) // m) * m
 
 
-def _block_dims(b, h, lp, dp, n_io_blocks, budget=10 * 2**20):
+def _block_dims(b, h, lp, dp, n_io_blocks, n_score_bufs,
+                budget=11 * 2**20):
   """Picks (batch_rows, heads) per block to fit VMEM while keeping DMAs fat.
 
-  Footprint ≈ double-buffered bf16 I/O blocks + fp32 (Lp, Lp) scratch for
-  the unrolled per-head softmax math. Larger bb amortizes per-grid-step DMA
-  setup (tiny 100KB blocks run the kernels at ~1/8 of HBM bandwidth).
+  Mosaic's stack allocator does NOT reuse buffers across unrolled loop
+  iterations, so the (Lp, Lp) fp32 softmax scratch scales with bb·hb:
+    stack ≈ io (double-buffered bf16 blocks)
+          + bb·hb · (n_score_bufs · Lp² · 4 + ~3 · Lp · Dp · 4).
+  Larger bb·hb amortizes per-grid-step DMA setup (tiny blocks ran the
+  kernels at ~1/8 of HBM bandwidth), so maximize it under the budget,
+  preferring more batch rows.
   """
   best = (1, 1)
   for bb in (8, 4, 2, 1):
@@ -38,8 +43,8 @@ def _block_dims(b, h, lp, dp, n_io_blocks, budget=10 * 2**20):
       if h % hb:
         continue
       io = n_io_blocks * bb * hb * lp * dp * 2 * 2
-      scratch = 4 * lp * lp * 4 + bb * hb * lp * dp * 4
-      if io + scratch <= budget:
+      per_iter = n_score_bufs * lp * lp * 4 + 3 * lp * dp * 4
+      if io + bb * hb * per_iter <= budget:
         if bb * hb > best[0] * best[1] or (
             bb * hb == best[0] * best[1] and bb > best[0]):
           best = (bb, hb)
@@ -120,7 +125,7 @@ def pallas_attention(q, k, v, interpret=False):
 
   qp, kp, vp = pad(q), pad(k), pad(v)
 
-  bb, hb = _block_dims(b, h, lp, dp, n_io_blocks=4, budget=12 * 2**20)
+  bb, hb = _block_dims(b, h, lp, dp, n_io_blocks=4, n_score_bufs=2)
   spec = pl.BlockSpec((bb, hb, lp, dp), lambda i, j: (i, j, 0, 0),
                       memory_space=pltpu.VMEM)
 
@@ -209,7 +214,7 @@ def _pallas_attention_bwd_impl(q, k, v, do, interpret=False):
     return jnp.pad(x, ((0, 0), (0, 0), (0, lp - l), (0, dp_ - d)))
 
   qp, kp, vp, dop = pad(q), pad(k), pad(v), pad(do)
-  bb, hb = _block_dims(b, h, lp, dp_, n_io_blocks=7, budget=10 * 2**20)
+  bb, hb = _block_dims(b, h, lp, dp_, n_io_blocks=7, n_score_bufs=4)
   spec = pl.BlockSpec((bb, hb, lp, dp_), lambda i, j: (i, j, 0, 0),
                       memory_space=pltpu.VMEM)
 
