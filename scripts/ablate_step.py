@@ -42,6 +42,8 @@ cfg = dict(
                     grad=False, attn="pallas"),
     pallas_noremat=dict(scan=False, policy="nothing_saveable", mask=0.375,
                         grad=True, attn="pallas"),
+    pallas_saveattn=dict(scan=True, policy="save_attn", mask=0.375,
+                         grad=True, attn="pallas"),
 )[NAME]
 
 model = ae_mod.Model(variant="B/4", img_size=64, scan=cfg["scan"],

@@ -21,6 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from small_vision_tpu.ops.attention import attention
 from small_vision_tpu.parallel.ctx import constrain
@@ -94,6 +95,9 @@ class MultiHeadAttention(nn.Module):
     o = attention(q, k, v,
                   use_pallas=self.attn_impl.startswith("pallas"),
                   interpret=self.attn_impl == "pallas_interpret")
+    # Named for remat: policy "save_attn" keeps this (cheap, (B,L,D)-sized)
+    # so backward skips recomputing the attention forward.
+    o = checkpoint_name(o, "attn_out")
 
     return nn.DenseGeneral(
         features=d, axis=(-2, -1), name="out",
@@ -180,11 +184,15 @@ class Encoder(nn.Module):
               dropout=self.dropout, adaln=self.adaln,
               dtype_mm=self.dtype_mm, attn_impl=self.attn_impl)
     if self.scan:
+      if self.remat_policy == "save_attn":
+        policy = jax.checkpoint_policies.save_only_these_names("attn_out")
+      else:
+        policy = getattr(jax.checkpoint_policies, self.remat_policy, None)
       block_cls = nn.remat(
           Block,
           prevent_cse=False,
           static_argnums=(-1,),  # deterministic
-          policy=getattr(jax.checkpoint_policies, self.remat_policy, None))
+          policy=policy)
       x, _ = nn.scan(
           block_cls,
           variable_axes={"params": 0},
