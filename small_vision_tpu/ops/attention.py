@@ -239,6 +239,177 @@ def _pallas_attention_bwd_impl(q, k, v, do, interpret=False):
   return unpad(dq), unpad(dk), unpad(dv)
 
 
+# ---------------------------------------------------------------------------
+# Packed-layout variant: kernel I/O stays (B, L, H*D) — the model's natural
+# layout — so NO transpose/pad passes run in HBM; heads are sliced from
+# values inside VMEM (static 64-lane slices → cheap register shuffles).
+# ---------------------------------------------------------------------------
+
+
+def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len,
+                        bb, num_heads, head_dim):
+  lp = q_ref.shape[1]
+  key_pos = jax.lax.broadcasted_iota(jnp.int32, (1, lp), dimension=1)
+  key_mask = key_pos < seq_len
+  q_all, k_all, v_all = q_ref[...], k_ref[...], v_ref[...]
+
+  outs = []
+  for i in range(bb):
+    head_outs = []
+    for h in range(num_heads):
+      sl = slice(h * head_dim, (h + 1) * head_dim)
+      q = q_all[i, :, sl]
+      k = k_all[i, :, sl]
+      v = v_all[i, :, sl]
+      scores = jax.lax.dot_general(
+          q, k, (((1,), (1,)), ((), ())),
+          preferred_element_type=jnp.float32) * scale
+      scores = jnp.where(key_mask, scores, -jnp.inf)
+      m = jnp.max(scores, axis=-1, keepdims=True)
+      e = jnp.exp(scores - m)
+      probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q_all.dtype)
+      head_outs.append(jax.lax.dot_general(
+          probs, v, (((1,), (0,)), ((), ())),
+          preferred_element_type=jnp.float32).astype(o_ref.dtype))
+    outs.append(jnp.concatenate(head_outs, axis=-1))
+  o_ref[...] = jnp.stack(outs, axis=0).reshape(o_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def pallas_attention_packed(q, k, v, num_heads, interpret=False):
+  """Fused attention on packed (B, L, H*D) tensors — zero layout passes."""
+  b, l, hd = q.shape
+  d = hd // num_heads
+  lp = _round_up(l, 16)
+  scale = 1.0 / np.sqrt(d)
+
+  pad = lambda x: jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
+  qp, kp, vp = pad(q), pad(k), pad(v)
+
+  # Reuse the block-size model: the packed block is bb×(lp, H*D).
+  bb, _ = _block_dims(b, 1, lp, hd, n_io_blocks=4, n_score_bufs=2)
+  spec = pl.BlockSpec((bb, lp, hd), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM)
+
+  def kernel(q_ref, k_ref, v_ref, o_ref):
+    _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, scale=scale,
+                        seq_len=l, bb=bb, num_heads=num_heads, head_dim=d)
+
+  out = pl.pallas_call(
+      kernel, grid=(b // bb,),
+      in_specs=[spec, spec, spec],
+      out_specs=spec,
+      out_shape=jax.ShapeDtypeStruct((b, lp, hd), q.dtype),
+      cost_estimate=pl.CostEstimate(
+          flops=2 * 2 * num_heads * lp * lp * d * b,
+          bytes_accessed=4 * b * lp * hd * 2,
+          transcendentals=b * num_heads * lp * lp),
+      interpret=interpret,
+  )(qp, kp, vp)
+  return out[:, :l, :]
+
+
+def _attn_bwd_kernel_packed(q_ref, k_ref, v_ref, do_ref,
+                            dq_ref, dk_ref, dv_ref, *, scale, seq_len,
+                            bb, num_heads, head_dim):
+  lp = q_ref.shape[1]
+  key_pos = jax.lax.broadcasted_iota(jnp.int32, (1, lp), dimension=1)
+  key_mask = key_pos < seq_len
+  f32 = jnp.float32
+  q_all, k_all, v_all, do_all = (q_ref[...], k_ref[...], v_ref[...],
+                                 do_ref[...])
+
+  dqs, dks, dvs = [], [], []
+  for i in range(bb):
+    dq_h, dk_h, dv_h = [], [], []
+    for h in range(num_heads):
+      sl = slice(h * head_dim, (h + 1) * head_dim)
+      q, k, v, do = (q_all[i, :, sl], k_all[i, :, sl], v_all[i, :, sl],
+                     do_all[i, :, sl])
+      scores = jax.lax.dot_general(
+          q, k, (((1,), (1,)), ((), ())),
+          preferred_element_type=f32) * scale
+      scores = jnp.where(key_mask, scores, -jnp.inf)
+      m = jnp.max(scores, axis=-1, keepdims=True)
+      e = jnp.exp(scores - m)
+      p = e / jnp.sum(e, axis=-1, keepdims=True)
+      pb = p.astype(q_all.dtype)
+      dv = jax.lax.dot_general(pb, do, (((0,), (0,)), ((), ())),
+                               preferred_element_type=f32)
+      dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                               preferred_element_type=f32)
+      ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            ).astype(q_all.dtype)
+      dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                               preferred_element_type=f32) * scale
+      dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                               preferred_element_type=f32) * scale
+      dq_h.append(dq.astype(dq_ref.dtype))
+      dk_h.append(dk.astype(dk_ref.dtype))
+      dv_h.append(dv.astype(dv_ref.dtype))
+    dqs.append(jnp.concatenate(dq_h, axis=-1))
+    dks.append(jnp.concatenate(dk_h, axis=-1))
+    dvs.append(jnp.concatenate(dv_h, axis=-1))
+  dq_ref[...] = jnp.stack(dqs, axis=0).reshape(dq_ref.shape)
+  dk_ref[...] = jnp.stack(dks, axis=0).reshape(dk_ref.shape)
+  dv_ref[...] = jnp.stack(dvs, axis=0).reshape(dv_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def _pallas_attention_packed_bwd_impl(q, k, v, do, num_heads,
+                                      interpret=False):
+  b, l, hd = q.shape
+  d = hd // num_heads
+  lp = _round_up(l, 16)
+  scale = 1.0 / np.sqrt(d)
+  pad = lambda x: jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
+  qp, kp, vp, dop = pad(q), pad(k), pad(v), pad(do)
+
+  bb, _ = _block_dims(b, 1, lp, hd, n_io_blocks=7, n_score_bufs=4)
+  spec = pl.BlockSpec((bb, lp, hd), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM)
+
+  def kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref):
+    _attn_bwd_kernel_packed(q_ref, k_ref, v_ref, do_ref,
+                            dq_ref, dk_ref, dv_ref, scale=scale, seq_len=l,
+                            bb=bb, num_heads=num_heads, head_dim=d)
+
+  shp = jax.ShapeDtypeStruct((b, lp, hd), q.dtype)
+  dq, dk, dv = pl.pallas_call(
+      kernel, grid=(b // bb,),
+      in_specs=[spec, spec, spec, spec],
+      out_specs=(spec, spec, spec),
+      out_shape=(shp, shp, shp),
+      cost_estimate=pl.CostEstimate(
+          flops=5 * 2 * num_heads * lp * lp * d * b,
+          bytes_accessed=7 * b * lp * hd * 2,
+          transcendentals=b * num_heads * lp * lp),
+      interpret=interpret,
+  )(qp, kp, vp, dop)
+  unpad = lambda x: x[:, :l, :]
+  return unpad(dq), unpad(dk), unpad(dv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_attention_packed(q, k, v, num_heads, interpret=False):
+  """Differentiable packed fused attention on (B, L, H*D) tensors."""
+  return pallas_attention_packed(q, k, v, num_heads, interpret=interpret)
+
+
+def _fused_packed_fwd(q, k, v, num_heads, interpret):
+  return (pallas_attention_packed(q, k, v, num_heads, interpret=interpret),
+          (q, k, v))
+
+
+def _fused_packed_bwd(num_heads, interpret, residuals, g):
+  q, k, v = residuals
+  return _pallas_attention_packed_bwd_impl(q, k, v, g, num_heads,
+                                           interpret=interpret)
+
+
+fused_attention_packed.defvjp(_fused_packed_fwd, _fused_packed_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def fused_attention(q, k, v, interpret=False):
   """Differentiable fused attention: Pallas fwd + Pallas bwd (recompute)."""
@@ -258,6 +429,14 @@ fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
 
 
 def attention(q, k, v, use_pallas=False, interpret=False):
+  """Dispatch: packed Pallas path (zero layout passes) or XLA einsums.
+
+  Shapes [B, L, H, D] in and out; the packed reshapes are free (contiguous).
+  """
   if use_pallas:
-    return fused_attention(q, k, v, interpret)
+    b, l, h, d = q.shape
+    out = fused_attention_packed(
+        q.reshape(b, l, h * d), k.reshape(b, l, h * d),
+        v.reshape(b, l, h * d), h, interpret)
+    return out.reshape(b, l, h, d)
   return xla_attention(q, k, v)
