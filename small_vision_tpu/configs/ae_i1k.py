@@ -26,7 +26,7 @@ def get_config(arg=None):
       mask_ratio_no_noise=0.75, finetune=False, lr=15e-5, wd=5e-2,
       beta2=0.95, size=64, adaln=True, epochs=800, area_min=80,
       use_preprocessed_latents=False, latent_diffusion=False, save_ckpt=True,
-      data="imagenet2012", attn_impl="xla", runlocal=False)
+      data="imagenet2012", attn_impl="pallas", runlocal=False)
 
   config = mlc.ConfigDict()
   config.finetune = arg.finetune
