@@ -432,7 +432,12 @@ def attention(q, k, v, use_pallas=False, interpret=False):
   """Dispatch: packed Pallas path (zero layout passes) or XLA einsums.
 
   Shapes [B, L, H, D] in and out; the packed reshapes are free (contiguous).
+  On non-TPU backends the Pallas request silently falls back to XLA (unless
+  interpret mode was asked for explicitly, e.g. in tests).
   """
+  if use_pallas and not interpret and jax.default_backend() not in (
+      "tpu", "axon"):
+    use_pallas = False
   if use_pallas:
     b, l, h, d = q.shape
     out = fused_attention_packed(
