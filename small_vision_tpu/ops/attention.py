@@ -251,7 +251,13 @@ def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len,
   lp = q_ref.shape[1]
   key_pos = jax.lax.broadcasted_iota(jnp.int32, (1, lp), dimension=1)
   key_mask = key_pos < seq_len
-  q_all, k_all, v_all = q_ref[...], k_ref[...], v_ref[...]
+  # Unpadded inputs: rows past seq_len are garbage HBM reads and may hold
+  # NaN/Inf bit patterns, which survive 0-multiplication inside dots — zero
+  # them at the source (select, not multiply).
+  row_mask = jax.lax.broadcasted_iota(
+      jnp.int32, (1, lp, 1), dimension=1) < seq_len
+  zero = lambda x: jnp.where(row_mask, x, jnp.zeros((), x.dtype))
+  q_all, k_all, v_all = zero(q_ref[...]), zero(k_ref[...]), zero(v_ref[...])
 
   outs = []
   for i in range(bb):
@@ -283,10 +289,9 @@ def pallas_attention_packed(q, k, v, num_heads, interpret=False):
   lp = _round_up(l, 16)
   scale = 1.0 / np.sqrt(d)
 
-  pad = lambda x: jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
-  qp, kp, vp = pad(q), pad(k), pad(v)
-
-  # Reuse the block-size model: the packed block is bb×(lp, H*D).
+  # No explicit padding: Pallas masks out-of-bounds block rows itself
+  # (garbage key rows are −inf-masked in-kernel; garbage query rows are
+  # dropped on the store), so no pad/slice/reshape passes run in HBM.
   bb, _ = _block_dims(b, 1, lp, hd, n_io_blocks=4, n_score_bufs=2)
   spec = pl.BlockSpec((bb, lp, hd), lambda i: (i, 0, 0),
                       memory_space=pltpu.VMEM)
@@ -295,18 +300,17 @@ def pallas_attention_packed(q, k, v, num_heads, interpret=False):
     _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, scale=scale,
                         seq_len=l, bb=bb, num_heads=num_heads, head_dim=d)
 
-  out = pl.pallas_call(
+  return pl.pallas_call(
       kernel, grid=(b // bb,),
       in_specs=[spec, spec, spec],
       out_specs=spec,
-      out_shape=jax.ShapeDtypeStruct((b, lp, hd), q.dtype),
+      out_shape=jax.ShapeDtypeStruct((b, l, hd), q.dtype),
       cost_estimate=pl.CostEstimate(
           flops=2 * 2 * num_heads * lp * lp * d * b,
           bytes_accessed=4 * b * lp * hd * 2,
           transcendentals=b * num_heads * lp * lp),
       interpret=interpret,
-  )(qp, kp, vp)
-  return out[:, :l, :]
+  )(q, k, v)
 
 
 def _attn_bwd_kernel_packed(q_ref, k_ref, v_ref, do_ref,
@@ -315,9 +319,18 @@ def _attn_bwd_kernel_packed(q_ref, k_ref, v_ref, do_ref,
   lp = q_ref.shape[1]
   key_pos = jax.lax.broadcasted_iota(jnp.int32, (1, lp), dimension=1)
   key_mask = key_pos < seq_len
+  # With unpadded inputs, rows beyond seq_len are GARBAGE HBM reads (possibly
+  # NaN/Inf). Zero every input's OOB rows at the source (select, not
+  # multiply), AND zero P's garbage query rows so they can't reach the dK/dV
+  # sums, which contract over queries.
+  row_pos = jax.lax.broadcasted_iota(jnp.int32, (lp, 1), dimension=0)
+  row_mask = row_pos < seq_len
+  block_mask = jax.lax.broadcasted_iota(
+      jnp.int32, (1, lp, 1), dimension=1) < seq_len
+  zero = lambda x: jnp.where(block_mask, x, jnp.zeros((), x.dtype))
   f32 = jnp.float32
-  q_all, k_all, v_all, do_all = (q_ref[...], k_ref[...], v_ref[...],
-                                 do_ref[...])
+  q_all, k_all, v_all, do_all = (zero(q_ref[...]), zero(k_ref[...]),
+                                 zero(v_ref[...]), zero(do_ref[...]))
 
   dqs, dks, dvs = [], [], []
   for i in range(bb):
@@ -333,6 +346,7 @@ def _attn_bwd_kernel_packed(q_ref, k_ref, v_ref, do_ref,
       m = jnp.max(scores, axis=-1, keepdims=True)
       e = jnp.exp(scores - m)
       p = e / jnp.sum(e, axis=-1, keepdims=True)
+      p = jnp.where(row_mask, p, 0.0)  # kill garbage query rows
       pb = p.astype(q_all.dtype)
       dv = jax.lax.dot_general(pb, do, (((0,), (0,)), ((), ())),
                                preferred_element_type=f32)
@@ -362,9 +376,10 @@ def _pallas_attention_packed_bwd_impl(q, k, v, do, num_heads,
   d = hd // num_heads
   lp = _round_up(l, 16)
   scale = 1.0 / np.sqrt(d)
-  pad = lambda x: jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
-  qp, kp, vp, dop = pad(q), pad(k), pad(v), pad(do)
 
+  # No explicit padding — see _pallas_attention_packed. The masked softmax
+  # zeroes the OOB-key columns of P and dS, so dq/dk/dv contributions from
+  # garbage rows never reach real positions; OOB query rows drop on store.
   bb, _ = _block_dims(b, 1, lp, hd, n_io_blocks=7, n_score_bufs=4)
   spec = pl.BlockSpec((bb, lp, hd), lambda i: (i, 0, 0),
                       memory_space=pltpu.VMEM)
@@ -374,8 +389,8 @@ def _pallas_attention_packed_bwd_impl(q, k, v, do, num_heads,
                             dq_ref, dk_ref, dv_ref, scale=scale, seq_len=l,
                             bb=bb, num_heads=num_heads, head_dim=d)
 
-  shp = jax.ShapeDtypeStruct((b, lp, hd), q.dtype)
-  dq, dk, dv = pl.pallas_call(
+  shp = jax.ShapeDtypeStruct((b, l, hd), q.dtype)
+  return pl.pallas_call(
       kernel, grid=(b // bb,),
       in_specs=[spec, spec, spec, spec],
       out_specs=(spec, spec, spec),
@@ -385,9 +400,7 @@ def _pallas_attention_packed_bwd_impl(q, k, v, do, num_heads,
           bytes_accessed=7 * b * lp * hd * 2,
           transcendentals=b * num_heads * lp * lp),
       interpret=interpret,
-  )(qp, kp, vp, dop)
-  unpad = lambda x: x[:, :l, :]
-  return unpad(dq), unpad(dk), unpad(dv)
+  )(q, k, v, do)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
