@@ -44,6 +44,8 @@ cfg = dict(
                         grad=True, attn="pallas"),
     pallas_saveattn=dict(scan=True, policy="save_attn", mask=0.375,
                          grad=True, attn="pallas"),
+    pallas_scan_noremat=dict(scan=True, policy="none", mask=0.375,
+                             grad=True, attn="pallas"),
 )[NAME]
 
 model = ae_mod.Model(variant="B/4", img_size=64, scan=cfg["scan"],
