@@ -46,8 +46,11 @@ def _build_step(mode: str, batch_size: int, attn_impl: str = "xla"):
   config.mask_ratio_no_noise = 0.75
   config.use_labels = False
   config.diff_schedule = dict(beta_schedule="cosine", timesteps=1000)
+  # Native mode: unrolled layers, no remat — with fused attention kernels,
+  # remat recompute costs ~20% of step time and B-scale activations fit HBM.
+  # (scan WITHOUT remat OOMs: grad-of-scan pins every per-layer intermediate.)
   config.model = dict(
-      variant="B/4", img_size=64, scan=True, adaln=True,
+      variant="B/4", img_size=64, scan=not native, adaln=True,
       dtype_mm="bfloat16" if native else "float32",
       attn_impl=attn_impl if native else "xla",
       remat_policy="nothing_saveable")

@@ -20,8 +20,12 @@ from small_vision_tpu.configs.common_fewshot import get_fewshot_lsr
 
 
 def get_config(arg=None):
+  # scan=False default (TPU-first deviation): with the fused attention
+  # kernels, scan+remat costs ~20-30% step time, and scan WITHOUT remat pins
+  # all per-layer intermediates (HBM OOM). Unrolled+no-remat is fastest at
+  # B/L scale; set scan=True only if compile size/memory demands it.
   arg = cc.parse_arg(
-      arg, variant="B/4", scan=True, fsdp=False, batch_size=1024,
+      arg, variant="B/4", scan=False, fsdp=False, batch_size=1024,
       use_labels=False, mask_ratio=0.375, no_noise_prob=0.5,
       mask_ratio_no_noise=0.75, finetune=False, lr=15e-5, wd=5e-2,
       beta2=0.95, size=64, adaln=True, epochs=800, area_min=80,
