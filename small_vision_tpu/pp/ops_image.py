@@ -55,8 +55,31 @@ def get_decode(channels: int = 3):
   return _decode
 
 
+_TF_RESIZE = None
+
+
+def _tf_resize_fn():
+  """tf.image.resize if tensorflow is importable (EXACT reference resize
+  semantics: bilinear, half-pixel centers, NO antialias — ops_image.py:57);
+  None otherwise. PIL's filtered resize differs enough to move FID."""
+  global _TF_RESIZE
+  if _TF_RESIZE is None:
+    try:
+      import tensorflow as tf
+      tf.config.set_visible_devices([], "GPU")
+      _TF_RESIZE = tf.image.resize
+    except ImportError:
+      _TF_RESIZE = False
+  return _TF_RESIZE or None
+
+
 def _resize_np(img: np.ndarray, size, method="bilinear") -> np.ndarray:
   h, w = size
+  tf_resize = _tf_resize_fn()
+  if tf_resize is not None and method in ("bilinear", "nearest"):
+    out = tf_resize(np.asarray(img), (h, w), method=method).numpy()
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8) if (
+        np.asarray(img).dtype == np.uint8) else out
   resample = {"bilinear": Image.BILINEAR, "nearest": Image.NEAREST,
               "bicubic": Image.BICUBIC, "area": Image.BOX}[method]
   out = _to_pil(img).resize((w, h), resample)
