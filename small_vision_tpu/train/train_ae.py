@@ -19,8 +19,6 @@ TPU-first deviations:
 
 import functools
 import importlib
-import math
-import time
 from typing import Optional
 
 import flax
