@@ -39,6 +39,9 @@ def main(argv=None):
                       choices=[None, "allow", "log", "disallow"],
                       help="catch implicit host<->device transfers "
                            "(reference train_tpu.py:26's disabled guard)")
+  parser.add_argument("--cleanup", action="store_true",
+                      help="delete the workdir after a successful run "
+                           "(reference utils.py:1306 maybe_cleanup_workdir)")
   args = parser.parse_args(argv)
 
   import jax
@@ -61,6 +64,10 @@ def main(argv=None):
   else:
     from small_vision_tpu.train import linear_ae as trainer
   trainer.train_and_evaluate(config, args.workdir)
+
+  if args.cleanup and args.workdir and jax.process_index() == 0:
+    import shutil
+    shutil.rmtree(args.workdir, ignore_errors=True)
 
 
 if __name__ == "__main__":
