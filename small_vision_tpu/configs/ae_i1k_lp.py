@@ -13,7 +13,7 @@ from small_vision_tpu.configs import common as cc
 def get_config(arg=None):
   arg = cc.parse_arg(
       arg, variant="B/4", batch_size=1024, size=64, adaln=True, epochs=90,
-      use_noised_pred=False, latent_diffusion=False, scan=True,
+      use_noised_pred=False, latent_diffusion=False, scan=False,
       data="imagenet2012", pretrain_workdir="", lr=0.1, wd=0.0)
 
   config = mlc.ConfigDict()

@@ -62,6 +62,62 @@ def merge_params(loaded, inited, dont_load: Sequence[str] = ()):
   return recover_tree(*zip(*merged.items())) if merged else {}
 
 
+def pyloop_to_scan(params):
+  """Converts unrolled block params (blocks_00..blocks_NN) to the
+  scan-stacked layout (one 'blocks' subtree with a leading depth dim).
+
+  Reference parity: big_vision/models/vit.py:356-379 (opposite naming).
+  Applied recursively so Encoder and Decoder both convert.
+  """
+
+  def convert(node):
+    if not isinstance(node, dict):
+      return node
+    node = {k: convert(v) for k, v in node.items()}
+    block_keys = sorted(k for k in node
+                        if re.fullmatch(r"blocks_\d+", k))
+    if block_keys:
+      stacked = jax.tree.map(
+          lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+          *[node[k] for k in block_keys])
+      node = {k: v for k, v in node.items() if k not in block_keys}
+      node["blocks"] = stacked
+    return node
+  return convert(params)
+
+
+def scan_to_pyloop(params):
+  """Inverse of pyloop_to_scan: splits 'blocks' stacks into blocks_NN."""
+
+  def convert(node):
+    if not isinstance(node, dict):
+      return node
+    node = {k: convert(v) for k, v in node.items()}
+    if "blocks" in node and isinstance(node["blocks"], dict):
+      depth = jnp.shape(jax.tree.leaves(node["blocks"])[0])[0]
+      stacked = node.pop("blocks")
+      for i in range(depth):
+        node[f"blocks_{i:02d}"] = jax.tree.map(lambda x: x[i], stacked)
+    return node
+  return convert(params)
+
+
+def adapt_block_layout(params, target_structure):
+  """Converts params between scan/pyloop layouts to match a target tree."""
+  from small_vision_tpu.utils.trees import tree_flatten_with_names
+  have = {n for n, _ in tree_flatten_with_names(params)[0]}
+  want = {n for n, _ in tree_flatten_with_names(target_structure)[0]}
+  if have == want:
+    return params
+  if any("/blocks_" in n for n in have) and any(
+      "/blocks/" in n for n in want):
+    return pyloop_to_scan(params)
+  if any("/blocks/" in n for n in have) and any(
+      "/blocks_" in n for n in want):
+    return scan_to_pyloop(params)
+  return params
+
+
 class AddPositionEmbs(nn.Module):
   """Learned position embeddings with an autoregressive-decode cache."""
   decode: bool = False

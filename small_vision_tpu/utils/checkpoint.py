@@ -76,6 +76,11 @@ def restore_subtree(mngr: ocp.CheckpointManager, key: str, abstract_subtree,
     return None
   restored = mngr.restore(step, args=ocp.args.StandardRestore())
   sub = restored[key]
+  if key == "params":
+    # Checkpoints from scan-stacked models load into unrolled models and
+    # vice versa (reference parity: vit.py pyloop_to_scan converter).
+    from small_vision_tpu.models.common import adapt_block_layout
+    sub = adapt_block_layout(sub, abstract_subtree)
   shardings = jax.tree.map(
       lambda a: a.sharding if hasattr(a, "sharding") else None,
       abstract_subtree)
