@@ -57,6 +57,25 @@ def test_inception_v3_shapes():
 
 
 @pytest.mark.slow
+def test_compute_reference_stats(tmp_path):
+  """The stats builder produces the same mu/sigma as a direct computation."""
+  model, variables = inception.init_params(jax.random.PRNGKey(0))
+  act_fn = fid_lib.make_activation_fn(model, variables)
+  rng = np.random.default_rng(3)
+  imgs = rng.integers(0, 256, (24, 32, 32, 3), dtype=np.uint8)
+
+  out = tmp_path / "stats.npz"
+  mu, sigma = fid_lib.compute_reference_stats(
+      iter([imgs[:16], imgs[16:]]), str(out), batch_size=8)
+  mu_direct, sigma_direct, _ = fid_lib.compute_statistics(
+      imgs, act_fn, batch_size=8)
+  np.testing.assert_allclose(mu, mu_direct, rtol=1e-4, atol=1e-5)
+  np.testing.assert_allclose(sigma, sigma_direct, rtol=1e-3, atol=1e-4)
+  loaded_mu, loaded_sigma = fid_lib.load_reference_stats(str(out))
+  np.testing.assert_allclose(loaded_mu, mu)
+
+
+@pytest.mark.slow
 def test_fid_pipeline_end_to_end(tmp_path):
   """Full pipeline with random weights: same dist → small FID, shifted
   dist → larger FID."""
