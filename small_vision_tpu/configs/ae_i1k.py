@@ -158,4 +158,10 @@ def get_config(arg=None):
     config.input.batch_size = 32
     config.input.num_workers = 2
     config.evals = {}
+    if arg.data == "synthetic":
+      config.input.data["num_examples"] = 512
+    config.model.update(width=64, depth=2, dec_depth=1, num_heads=4,
+                        scan=False)
+    config.log_training_steps = 4
+    config.ckpt_steps = 8
   return config
