@@ -375,6 +375,19 @@ def train_and_evaluate(config, workdir: Optional[str] = None, mesh=None):
   with activate_mesh(mesh):
     rng_init = parallel.reshard(rng_init, repl)
     params = jax.jit(init, out_shardings=params_sharding)(rng_init)
+    if config.get("model_init"):
+      # Warm-start from a flat-npz zoo checkpoint (reference train loop's
+      # model_init path; models/vit.py:381 load()).
+      from small_vision_tpu.models.common import (adapt_block_layout,
+                                                  merge_params)
+      from small_vision_tpu.utils.checkpoint import load_params_npz
+      loaded = adapt_block_layout(
+          load_params_npz(config["model_init"]), params)
+      params = parallel.reshard(
+          merge_params(loaded, jax.device_get(params),
+                       dont_load=tuple(config.get("model_load", {}).get(
+                           "dont_load", ()))),
+          params_sharding)
     opt = jax.jit(tx.init, out_shardings=opt_sharding)(params)
     rng, rng_loop = jax.random.split(rng)
     rng_loop = parallel.reshard(rng_loop, repl)
