@@ -29,6 +29,15 @@ def write_arrays(root: str, images: np.ndarray,
 class DataSource(core.DataSource):
 
   def __init__(self, *, root: str, split: str = "train", split_frac=None):
+    # An arrays dir holds ONE split (build separate dirs per split, or pass
+    # split_frac for a fractional slice). Accepting an unknown split name and
+    # silently returning the same data would leak train into eval, so any
+    # split other than the dir's own is an error unless split_frac is given.
+    if split_frac is None and split != "train":
+      raise ValueError(
+          f"arrays source at {root!r} holds a single split; got "
+          f"split={split!r}. Point the config at a per-split root "
+          f"(e.g. {root}/validation) or pass split_frac=(lo, hi).")
     self.images = np.load(os.path.join(root, "images.npy"), mmap_mode="r")
     labels_path = os.path.join(root, "labels.npy")
     self.labels = (np.load(labels_path, mmap_mode="r")
@@ -37,7 +46,6 @@ class DataSource(core.DataSource):
     # Optional fractional split, e.g. split_frac=(0.0, 0.99) for train[:99%].
     lo, hi = split_frac if split_frac else (0.0, 1.0)
     self._lo, self._hi = int(n * lo), int(n * hi)
-    del split
 
   @property
   def total_examples(self) -> int:

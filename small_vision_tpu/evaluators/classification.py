@@ -18,7 +18,7 @@ class Evaluator:
   int or one-hot under `label_key`."""
 
   def __init__(self, predict_fn, *, mesh, batch_size, data, pp_fn="",
-               label_key="label", cache_final=True, **unused_kw):
+               label_key="label", cache_final=True):
     data = dict(data)
     source = ds_core.get(data.pop("name"), **data)
     self.iterate, self.device_pp, self.n_steps = pipeline.make_for_inference(

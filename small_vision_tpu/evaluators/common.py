@@ -47,7 +47,14 @@ def from_config(config, predict_fns, mesh,
           f"{sorted(predict_fns)}") from e
     if pred_kw is not None:
       predict_fn = _CacheablePartial(predict_fn, flax.core.freeze(pred_kw))
-    evaluator = module.Evaluator(predict_fn, mesh=mesh, **cfg)
+    try:
+      evaluator = module.Evaluator(predict_fn, mesh=mesh, **cfg)
+    except TypeError as e:
+      # Evaluators take explicit kwargs only (no **unused_kw swallowing), so
+      # a typo'd config key (e.g. `totall_samples`) fails loudly here.
+      raise ValueError(
+          f"Bad config for evaluator {name!r} (type={module_name!r}): {e}. "
+          f"Config keys passed: {sorted(cfg)}") from e
     evaluators.append((name, evaluator, log_steps, prefix))
   return evaluators
 

@@ -16,10 +16,15 @@ from small_vision_tpu.data import pipeline
 
 class Evaluator:
   """predict_fn = trainer "loss": (train_state, batch) ->
-  (loss, x_t, pred_x0, pred_x0_eps)."""
+  (per_example_loss, x_t, pred_x0, pred_x0_eps).
+
+  The final batch of a split is zero-padded up to batch_size with `_mask`=0
+  rows (pipeline.make_for_inference); the reported loss is the mask-weighted
+  mean over REAL examples, accumulated as (sum, count) across batches and
+  processes so ragged batches carry their true weight."""
 
   def __init__(self, predict_fn, *, mesh, batch_size, data, pp_fn="",
-               cache_final=True, num_batches=None, **unused_kw):
+               cache_final=True, num_batches=None):
     data = dict(data)
     source = ds_core.get(data.pop("name"), **data)
     self.iterate, self.device_pp, self.n_steps = pipeline.make_for_inference(
@@ -34,11 +39,11 @@ class Evaluator:
         batch = self.device_pp(dict(batch), pp_rng)
       mask = batch["_mask"]
       loss, x_t, pred_x0, pred_x0_eps = predict_fn(train_state, batch)
-      return loss, mask.sum(), x_t, pred_x0, pred_x0_eps
+      return (loss * mask).sum(), mask.sum(), x_t, pred_x0, pred_x0_eps
     self._eval_fn = _eval_fn
 
   def run(self, train_state):
-    losses, firsts = [], None
+    loss_sum, n_sum, firsts = 0.0, 0.0, None
     rng = jax.random.PRNGKey(0)
     for i, batch in enumerate(self.iterate()):
       if i >= self.n_steps:
@@ -46,11 +51,14 @@ class Evaluator:
       rng, pp_rng = jax.random.split(rng)
       loss, n, x_t, pred_x0, pred_x0_eps = self._eval_fn(
           train_state, batch, pp_rng)
-      losses.append(float(jax.device_get(loss)))
+      loss_sum += float(jax.device_get(loss))
+      n_sum += float(jax.device_get(n))
       if firsts is None:
         firsts = jax.device_get((x_t, pred_x0, pred_x0_eps))
     from small_vision_tpu.parallel.collectives import process_allgather
-    yield "loss", float(np.mean(process_allgather(np.mean(losses))))
+    totals = process_allgather(np.asarray([loss_sum, n_sum]))
+    totals = np.asarray(totals).reshape(-1, 2).sum(axis=0)
+    yield "loss", float(totals[0] / max(totals[1], 1.0))
     if firsts is not None:
       x_t, pred_x0, pred_x0_eps = firsts
       yield "image_x_t", np.asarray(x_t)

@@ -17,8 +17,7 @@ class Evaluator:
   """predict_fn = a trainer sample fn: (train_state, rng) -> dict with
   fid_samples/image_examples/ys/rng."""
 
-  def __init__(self, predict_fn, *, mesh, batch_size, total_samples=10_000,
-               **unused_kw):
+  def __init__(self, predict_fn, *, mesh, batch_size, total_samples=10_000):
     self.total_samples = int(total_samples)
     self._sample_fn = jax.jit(predict_fn)
 

@@ -66,8 +66,7 @@ class Evaluator:
 
   def __init__(self, predict_fn, *, mesh, batch_size, representation_layer,
                datasets, shots, l2_reg, pp_train, pp_eval, display_first,
-               num_seeds=3, label_key="label", num_classes=None,
-               **unused_kw):
+               num_seeds=3, label_key="label", num_classes=None):
     self.mesh = mesh
     self.batch_size = batch_size
     self.datasets = datasets

@@ -17,7 +17,7 @@ from small_vision_tpu.parallel.collectives import process_allgather
 class Evaluator:
 
   def __init__(self, predict_fn, *, mesh, batch_size, data, pp_fn="",
-               cache_final=True, **unused_kw):
+               cache_final=True):
     data = dict(data)
     source = ds_core.get(data.pop("name"), **data)
     self.iterate, self.device_pp, self.n_steps = pipeline.make_for_inference(

@@ -16,7 +16,7 @@ from small_vision_tpu.data import pipeline
 class Evaluator:
 
   def __init__(self, predict_fn, *, mesh, batch_size, data, pp_fn="",
-               outfile="inference.npz", workdir=None, **unused_kw):
+               outfile="inference.npz", workdir=None):
     data = dict(data)
     source = ds_core.get(data.pop("name"), **data)
     self.iterate, self.device_pp, self.n_steps = pipeline.make_for_inference(

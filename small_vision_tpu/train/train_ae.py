@@ -46,6 +46,17 @@ def build_model(config):
   return model_mod.Model(**dict(config.get("model", {})))
 
 
+def mae_mix_weight(batch_size: int, no_noise_prob: float) -> float:
+  """Realized MAE-branch loss weight: int(B*p)/B.
+
+  The batch is split by the static count n_no_noise = int(B*p), so the loss
+  mix must use the realized count ratio, not the nominal probability
+  (reference trainers/train_ae.py:304,361) — they differ whenever B*p is
+  fractional.
+  """
+  return int(batch_size * no_noise_prob) / batch_size
+
+
 def make_update_fn(model, tx, config, device_pp, mesh,
                    train_state_sharding, vae_encode=None):
   """Builds the single-XLA-program train step (donated train_state+batch)."""
@@ -128,7 +139,11 @@ def make_update_fn(model, tx, config, device_pp, mesh,
       else:
         dit_loss = 0.0
 
-      return (dit_loss * (1 - no_noise_prob) + mae_loss * no_noise_prob)
+      # Mix by the REALIZED batch fractions, not the nominal probability:
+      # n_no_noise = int(b*p) truncates, so n_no_noise/b != p whenever b*p is
+      # fractional (reference trainers/train_ae.py:361 uses the count ratio).
+      w_mae = mae_mix_weight(b, no_noise_prob)
+      return dit_loss * (1.0 - w_mae) + mae_loss * w_mae
 
     params, opt = train_state["params"], train_state["opt"]
     loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -225,8 +240,11 @@ def make_eval_fns(model, config, vae_encode=None, vae_decode=None):
                           y=labels, t=t + 1)
     pred_x0 = pred[..., :channels]
     pred_eps = pred[..., channels:]
-    loss = (jnp.mean((pred_eps - noise) ** 2)
-            + jnp.mean((pred_x0 - images) ** 2)) / 2
+    # Per-example loss so the evaluator can mask out zero-padded rows of the
+    # final short batch and weight ragged batches correctly.
+    red = tuple(range(1, pred_eps.ndim))
+    loss = (jnp.mean((pred_eps - noise) ** 2, axis=red)
+            + jnp.mean((pred_x0 - images) ** 2, axis=red)) / 2
     pred_x0_eps = gd_lib.predict_xstart_from_eps(gd, x_t, t, pred_eps)
     if latent:
       x_t = from_latent(train_state, x_t)
