@@ -27,6 +27,7 @@ import numpy as np
 
 from small_vision_tpu.data import core as ds_core
 from small_vision_tpu.parallel.mesh import batch_sharding
+from small_vision_tpu.pp import builder as pp_builder
 from small_vision_tpu.pp.builder import get_preprocess_fn
 
 # Ensure the standard op sets are registered on import.
@@ -107,12 +108,15 @@ class TrainIterator:
 
   def __init__(self, source: ds_core.DataSource, pp_spec: str, mesh,
                global_batch_size: int, *, seed: int = 0, num_workers: int = 8,
-               prefetch: int = 2):
+               prefetch: int = 2, host_pp=None, device_pp=None):
     assert global_batch_size % jax.process_count() == 0
     self.source = source
     self.mesh = mesh
     self.local_bs = global_batch_size // jax.process_count()
-    self.host_pp, self.device_pp = get_preprocess_fn(pp_spec)
+    if host_pp is not None:  # Pre-built pp (dataset mixing dispatches per-src)
+      self.host_pp, self.device_pp = host_pp, device_pp
+    else:
+      self.host_pp, self.device_pp = get_preprocess_fn(pp_spec)
     self.seed = seed
     self.num_workers = num_workers
     self.prefetch = prefetch
@@ -141,21 +145,101 @@ class TrainIterator:
       yield buf.popleft()
 
 
+class MixedSource(ds_core.DataSource):
+  """Weighted example-level mixture over several sources.
+
+  TPU-native replacement for the reference's
+  `tf.data.Dataset.sample_from_datasets` (input_pipeline.py:117): each source
+  cycles its own epochs independently; examples are drawn by a seeded
+  categorical in blocks and tagged with `_mix` = source index so the host-pp
+  dispatcher applies the right per-source pipeline.
+  """
+
+  def __init__(self, sources, weights):
+    w = np.asarray(weights, np.float64)
+    assert (w > 0).all() and len(w) == len(sources)
+    self.sources = list(sources)
+    self.weights = w / w.sum()
+
+  @property
+  def total_examples(self) -> int:
+    return sum(s.total_examples for s in self.sources)
+
+  def examples(self, *, ordered: bool = False, seed: int = 0,
+               epoch: int = 0):
+    assert not ordered, "MixedSource is a training-only (shuffled) source"
+    def cycle(src):
+      for ep in itertools.count(epoch):
+        yield from src.examples(seed=seed, epoch=ep)
+    iters = [cycle(s) for s in self.sources]
+    rng = np.random.default_rng((seed, epoch, jax.process_index()))
+    while True:
+      for i in rng.choice(len(iters), size=1024, p=self.weights):
+        ex = dict(next(iters[i]))
+        ex["_mix"] = np.int32(i)
+        yield ex
+
+
+def _mix_host_pp(host_pps):
+  def pp(ex):
+    ex = dict(ex)
+    return host_pps[int(ex.pop("_mix"))](ex)
+  return pp
+
+
+_TRAINING_KEYS = frozenset(
+    {"data", "pp", "batch_size", "seed", "num_workers", "prefetch_to_device"})
+
+
 def training(cfg, mesh):
   """Builds the train iterator from a config.input-style dict.
 
   Returns (iterator, device_pp_fn_or_None, ntrain_img) — the caller folds
   device_pp into its jitted step (reference applied all pp on host instead).
+
+  Single dataset: `cfg.data` has a `name` key. Mixture (reference
+  input_pipeline.py:51-125): `cfg.data` maps {dataset_key: weight} and each
+  `cfg[dataset_key]` is a sub-config with its own `data` and `pp`; the device
+  pp stage must be identical across members (it is fused into ONE jitted
+  stage shared by the mixture).
   """
+  cfg = dict(cfg)
   data_cfg = dict(cfg["data"])
-  name = data_cfg.pop("name")
-  source = ds_core.get(name, **data_cfg)
-  it = TrainIterator(
-      source, cfg.get("pp", ""), mesh, cfg["batch_size"],
-      seed=cfg.get("seed", 0),
-      num_workers=cfg.get("num_workers", 8),
-      prefetch=cfg.get("prefetch_to_device", 2))
-  return it, it.device_pp, source.total_examples
+  mixing = not isinstance(data_cfg.get("name"), str)
+  allowed = _TRAINING_KEYS | (set(data_cfg) if mixing else set())
+  unknown = set(cfg) - allowed
+  if unknown:
+    raise ValueError(
+        f"Unknown input-config keys {sorted(unknown)}; "
+        f"known keys: {sorted(allowed)}")
+  kw = dict(seed=cfg.get("seed", 0), num_workers=cfg.get("num_workers", 8),
+            prefetch=cfg.get("prefetch_to_device", 2))
+
+  if not mixing:
+    name = data_cfg.pop("name")
+    source = ds_core.get(name, **data_cfg)
+    it = TrainIterator(source, cfg.get("pp", ""), mesh, cfg["batch_size"],
+                       **kw)
+    return it, it.device_pp, source.total_examples
+
+  names = list(data_cfg)
+  sources, host_pps, device_specs = [], [], []
+  for n in names:
+    sub = dict(cfg[n])
+    d = dict(sub["data"])
+    sources.append(ds_core.get(d.pop("name"), **d))
+    host_spec, device_spec = pp_builder.split_stages(sub.get("pp", ""))
+    host_pps.append(get_preprocess_fn(host_spec)[0])
+    device_specs.append(device_spec)
+  if len(set(device_specs)) > 1:
+    raise ValueError(
+        "Mixed datasets must share an identical device pp stage (it is one "
+        f"fused jitted fn); got {dict(zip(names, device_specs))}")
+  device_pp = get_preprocess_fn(device_specs[0])[1]
+  mixed = MixedSource(sources, [float(data_cfg[n]) for n in names])
+  it = TrainIterator(mixed, "", mesh, cfg["batch_size"],
+                     host_pp=_mix_host_pp(host_pps), device_pp=device_pp, **kw)
+  return it, it.device_pp, mixed.total_examples
 
 
 def make_for_inference(source: ds_core.DataSource, pp_spec: str, mesh,

@@ -24,6 +24,22 @@ def split_spec(pp_spec: str):
   return [tok.strip() for tok in (pp_spec or "").split("|") if tok.strip()]
 
 
+def split_stages(pp_spec: str) -> Tuple[str, str]:
+  """Splits a pp string into (host_spec, device_spec) normalized strings.
+
+  Uses the same stage-resolution rule as `get_preprocess_fn` ('any' ops bind
+  to host until the first device op). Lets callers compare the device stage
+  of several pipelines (dataset mixing shares ONE fused device fn).
+  """
+  host_specs, device_specs = [], []
+  for spec in split_spec(pp_spec):
+    _, stage = Registry.lookup(spec)
+    if stage == "any":
+      stage = "device" if device_specs else "host"
+    (host_specs if stage == "host" else device_specs).append(spec)
+  return "|".join(host_specs), "|".join(device_specs)
+
+
 def get_preprocess_fn(pp_spec: str, log_name: Optional[str] = None
                       ) -> Tuple[Callable, Optional[Callable]]:
   """Builds (host_fn, device_fn) from a pp string.

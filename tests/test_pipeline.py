@@ -66,3 +66,61 @@ def test_inference_covers_all_examples_once():
       np.asarray(b["_id"])[np.asarray(b["_mask"]) > 0]
       for b in iterate()])
   assert sorted(ids.tolist()) == list(range(24))
+
+
+def test_training_multi_dataset_mixing_ratios():
+  """Reference input_pipeline.py:117 sample_from_datasets parity: weighted
+  example-level mixture, per-source host pp, one shared device stage."""
+  from small_vision_tpu.pp.registry import temporary_ops
+
+  def mark(v):
+    def _op(ex):
+      ex["src"] = np.int64(v)
+      return ex
+    return _op
+
+  mesh = parallel.make_mesh()
+  with temporary_ops(mark=mark):
+    cfg = {
+        "data": {"a": 3.0, "b": 1.0},
+        "a": {"data": {"name": "synthetic", "img_size": 8,
+                       "num_examples": 100, "num_classes": 10},
+              "pp": 'mark(0)|value_range(-1, 1)|keep("image", "src")'},
+        "b": {"data": {"name": "synthetic", "img_size": 8,
+                       "num_examples": 300, "num_classes": 10},
+              "pp": 'mark(1)|value_range(-1, 1)|keep("image", "src")'},
+        "batch_size": 64,
+        "num_workers": 1,
+    }
+    it, device_pp, n = pipeline.training(cfg, mesh)
+    assert n == 400
+    srcs = np.concatenate(
+        [np.asarray(b["src"]) for _, b in zip(range(32), iter(it))])
+  frac_b = srcs.mean()  # 2048 draws; expect 0.25 ± a few sigma (~0.01)
+  assert abs(frac_b - 0.25) < 0.04, frac_b
+  assert device_pp is not None
+
+
+def test_training_mixing_rejects_divergent_device_pp():
+  import pytest
+  mesh = parallel.make_mesh()
+  cfg = {
+      "data": {"a": 1.0, "b": 1.0},
+      "a": {"data": {"name": "synthetic", "img_size": 8, "num_examples": 10},
+            "pp": 'value_range(-1, 1)'},
+      "b": {"data": {"name": "synthetic", "img_size": 8, "num_examples": 10},
+            "pp": 'value_range(0, 1)'},
+      "batch_size": 8,
+  }
+  with pytest.raises(ValueError, match="device pp"):
+    pipeline.training(cfg, mesh)
+
+
+def test_training_rejects_unknown_input_keys():
+  import pytest
+  mesh = parallel.make_mesh()
+  cfg = {"data": {"name": "synthetic", "img_size": 8, "num_examples": 16},
+         "batch_size": 8,
+         "pp_fn": "value_range(-1, 1)"}  # typo: should be `pp`
+  with pytest.raises(ValueError, match="pp_fn"):
+    pipeline.training(cfg, mesh)
