@@ -73,27 +73,53 @@ struct Box {
   int y0, x0, h, w;
 };
 
-// GoogLeNet-style distorted bounding box (tf.image.sample_distorted_
-// bounding_box semantics): up to max_attempts draws of (area, aspect);
-// fall back to the full image.
+// Distribution-faithful port of tf.image.sample_distorted_bounding_box's
+// GenerateRandomCrop (sample_distorted_bounding_box_op.cc): LINEAR-uniform
+// aspect ratio, then a uniform INTEGER height between the min/max heights
+// implied by the area bounds; fall back to the full image. Must stay in
+// sync with pp/ops_image.py _sample_inception_box.
 Box sample_box(std::mt19937_64& rng, int h, int w, double area_min,
                double area_max, double ar_lo, double ar_hi,
                int max_attempts) {
   std::uniform_real_distribution<double> unif(0.0, 1.0);
-  const double area = static_cast<double>(h) * w;
+  const double min_area = area_min * h * w;
+  const double max_area = area_max * h * w;
   for (int i = 0; i < max_attempts; ++i) {
-    double target = (area_min + (area_max - area_min) * unif(rng)) * area;
-    double log_lo = std::log(ar_lo), log_hi = std::log(ar_hi);
-    double aspect = std::exp(log_lo + (log_hi - log_lo) * unif(rng));
-    int cw = static_cast<int>(std::lround(std::sqrt(target * aspect)));
-    int ch = static_cast<int>(std::lround(std::sqrt(target / aspect)));
-    if (cw > 0 && ch > 0 && cw <= w && ch <= h) {
-      int x0 = static_cast<int>(unif(rng) * (w - cw + 1));
-      int y0 = static_cast<int>(unif(rng) * (h - ch + 1));
-      x0 = std::min(x0, w - cw);
-      y0 = std::min(y0, h - ch);
-      return {y0, x0, ch, cw};
+    const double ar = ar_lo + (ar_hi - ar_lo) * unif(rng);
+    long height = std::lrint(std::sqrt(min_area / ar));
+    long max_height = std::lrint(std::sqrt(max_area / ar));
+    if (std::lrint(max_height * ar) > w) {
+      max_height = static_cast<long>((w + 0.5 - 1e-7) / ar);
+      if (std::lrint(max_height * ar) > w) max_height -= 1;
     }
+    if (max_height > h) max_height = h;
+    if (height > max_height) height = max_height;
+    if (height < max_height) {
+      height += static_cast<long>(unif(rng) * (max_height - height + 1));
+      if (height > max_height) height = max_height;
+    }
+    long width = std::lrint(height * ar);
+    if (static_cast<double>(width) * height < min_area) {
+      height += 1;
+      width = std::lrint(height * ar);
+    }
+    if (static_cast<double>(width) * height > max_area) {
+      height -= 1;
+      width = std::lrint(height * ar);
+    }
+    const double area = static_cast<double>(width) * height;
+    if (area < min_area || area > max_area || width > w || height > h ||
+        width <= 0 || height <= 0) {
+      continue;
+    }
+    // TF quirk: Uniform(H - h) EXCLUDES the flush-to-edge placement.
+    int y0 = height < h ? static_cast<int>(unif(rng) * (h - height)) : 0;
+    int x0 = width < w ? static_cast<int>(unif(rng) * (w - width)) : 0;
+    y0 = std::min<int>(y0, h - static_cast<int>(height) - 1 >= 0
+                               ? h - static_cast<int>(height) - 1 : 0);
+    x0 = std::min<int>(x0, w - static_cast<int>(width) - 1 >= 0
+                               ? w - static_cast<int>(width) - 1 : 0);
+    return {y0, x0, static_cast<int>(height), static_cast<int>(width)};
   }
   return {0, 0, h, w};
 }

@@ -67,8 +67,8 @@ def available() -> bool:
 
 def decode_inception_crop(jpeg_bytes: bytes, out_h: int, out_w: int,
                           area_min: float, area_max: float, seed: int,
-                          ar_lo: float = 3 / 4, ar_hi: float = 4 / 3,
-                          max_attempts: int = 10) -> np.ndarray:
+                          ar_lo: float = 0.75, ar_hi: float = 1.33,
+                          max_attempts: int = 100) -> np.ndarray:
   """Fused decode+random-crop+resize; raises ValueError on bad JPEGs."""
   lib = _load()
   assert lib is not None, "native loader unavailable"

@@ -75,14 +75,18 @@ class _HostPipeline:
             batch_buf = []
         if batch_buf:
           self._flush(batch_buf, out_q, stop, final=True)
-      finally:
         out_q.put(None)
+      except BaseException as e:  # Propagate pp failures to the consumer.
+        out_q.put(e)
 
     threading.Thread(target=producer, daemon=True).start()
     while True:
       item = out_q.get()
       if item is None:
         break
+      if isinstance(item, BaseException):
+        stop.set()
+        raise RuntimeError("host input pipeline worker failed") from item
       yield item
     stop.set()
 

@@ -78,7 +78,9 @@ def _resize_np(img: np.ndarray, size, method="bilinear") -> np.ndarray:
   tf_resize = _tf_resize_fn()
   if tf_resize is not None and method in ("bilinear", "nearest"):
     out = tf_resize(np.asarray(img), (h, w), method=method).numpy()
-    return np.clip(np.rint(out), 0, 255).astype(np.uint8) if (
+    # Reference casts via tf.cast(clip(x, 0, 255), uint8), which TRUNCATES
+    # toward zero (ops_image.py:84) — astype matches; rint would not.
+    return np.clip(out, 0, 255).astype(np.uint8) if (
         np.asarray(img).dtype == np.uint8) else out
   resample = {"bilinear": Image.BILINEAR, "nearest": Image.NEAREST,
               "bicubic": Image.BICUBIC, "area": Image.BOX}[method]
@@ -131,24 +133,48 @@ def get_resize_long(longer_size: int, method: str = "bilinear"):
 
 
 def _sample_inception_box(rng, h, w, area_min, area_max=100,
-                          aspect_ratio_range=(3 / 4, 4 / 3), max_attempts=10):
-  """GoogLeNet-style distorted bbox: random area/aspect crop with fallback.
+                          aspect_ratio_range=(0.75, 1.33), max_attempts=100):
+  """Distribution-faithful port of tf.image.sample_distorted_bounding_box.
 
-  Mirrors tf.image.sample_distorted_bounding_box semantics
-  (reference ops_image.py:197-243): up to `max_attempts` draws of
-  (area, aspect); on failure, the whole image.
+  The reference training crop (ops_image.py:197-243) uses the TF op, whose
+  C++ sampler (sample_distorted_bounding_box_op.cc GenerateRandomCrop) draws
+  the aspect ratio LINEAR-uniform in [0.75, 1.33] and then an integer height
+  uniform between the min/max heights implied by the area bounds — NOT the
+  torchvision recipe (log-uniform aspect, uniform area). Matching the box
+  distribution is a SURVEY §7 hard-parts item (it shifts the training-data
+  distribution and therefore FID/LP comparability);
+  tests/test_reference_parity.py KS-tests this against the TF op.
   """
-  area = h * w
+  min_area = area_min / 100 * h * w
+  max_area = area_max / 100 * h * w
   for _ in range(max_attempts):
-    target_area = rng.uniform(area_min / 100, area_max / 100) * area
-    log_lo, log_hi = np.log(aspect_ratio_range)
-    aspect = np.exp(rng.uniform(log_lo, log_hi))
-    cw = int(round(np.sqrt(target_area * aspect)))
-    ch = int(round(np.sqrt(target_area / aspect)))
-    if cw <= w and ch <= h and cw > 0 and ch > 0:
-      x0 = int(rng.integers(0, w - cw + 1))
-      y0 = int(rng.integers(0, h - ch + 1))
-      return y0, x0, ch, cw
+    ar = float(rng.uniform(*aspect_ratio_range))
+    height = int(np.rint(np.sqrt(min_area / ar)))
+    max_height = int(np.rint(np.sqrt(max_area / ar)))
+    if np.rint(max_height * ar) > w:
+      max_height = int((w + 0.5 - 1e-7) / ar)
+      if np.rint(max_height * ar) > w:
+        max_height -= 1
+    max_height = min(max_height, h)
+    height = min(height, max_height)
+    if height < max_height:
+      height += int(rng.integers(0, max_height - height + 1))
+    width = int(np.rint(height * ar))
+    if width * height < min_area:
+      height += 1
+      width = int(np.rint(height * ar))
+    if width * height > max_area:
+      height -= 1
+      width = int(np.rint(height * ar))
+    area = width * height
+    if (area < min_area or area > max_area or width > w or height > h
+        or width <= 0 or height <= 0):
+      continue
+    # TF's offset draw is Uniform(H - h), EXCLUSIVE of the flush-to-edge
+    # placement (a quirk of the C++ op; keeps the KS test honest).
+    y0 = int(rng.integers(0, h - height)) if height < h else 0
+    x0 = int(rng.integers(0, w - width)) if width < w else 0
+    return y0, x0, height, width
   return 0, 0, h, w
 
 

@@ -7,6 +7,8 @@ import pytest
 
 from small_vision_tpu.ops.attention import fused_attention, xla_attention
 
+pytestmark = pytest.mark.slow
+
 
 def _qkv(b=2, l=37, h=4, d=16, seed=0):
   ks = jax.random.split(jax.random.PRNGKey(seed), 3)

@@ -1,5 +1,6 @@
 """scan↔pyloop block-layout conversion (checkpoint compatibility)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -7,6 +8,8 @@ import numpy as np
 from small_vision_tpu.models import ae as ae_mod
 from small_vision_tpu.models.common import (adapt_block_layout,
                                             pyloop_to_scan, scan_to_pyloop)
+
+pytestmark = pytest.mark.slow
 
 TINY = dict(width=32, depth=3, dec_depth=2, num_heads=4, img_size=16,
             patch_size=(4, 4), adaln=True, dtype_mm="float32")

@@ -1,8 +1,11 @@
 """End-to-end CLI test: the exact user entry point, tiny local run."""
 
+import pytest
 import json
 
 from small_vision_tpu import cli
+
+pytestmark = pytest.mark.slow
 
 
 def test_cli_ae_end_to_end(tmp_path):

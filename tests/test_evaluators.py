@@ -102,6 +102,7 @@ def test_fewshot_solver_separable_data():
   assert float(acc) > 0.95
 
 
+@pytest.mark.slow
 def test_trainer_with_evaluator_integration(tmp_path):
   config = smoke_config()
   config.evals = {"val": dict(

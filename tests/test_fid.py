@@ -8,6 +8,8 @@ import pytest
 from small_vision_tpu.evaluators import fid as fid_lib
 from small_vision_tpu.evaluators import inception
 
+pytestmark = pytest.mark.slow
+
 
 def test_streaming_moments_match_numpy():
   rng = np.random.default_rng(0)

@@ -1,11 +1,14 @@
 """Finetune surgery: pretrain ckpt → conditional finetune with fresh head."""
 
+import pytest
 import jax
 import numpy as np
 
 from small_vision_tpu.train import train_ae
 
 from tests.test_train import smoke_config
+
+pytestmark = pytest.mark.slow
 
 
 def test_finetune_surgery(tmp_path):

@@ -1,5 +1,6 @@
 """FSDP (ZeRO-3) training must be numerically equivalent to replicated."""
 
+import pytest
 import json
 
 import numpy as np
@@ -7,6 +8,8 @@ import numpy as np
 from small_vision_tpu.train import train_ae
 
 from tests.test_train import smoke_config
+
+pytestmark = pytest.mark.slow
 
 
 def _losses(tmp_path, name, **overrides):

@@ -1,5 +1,6 @@
 """Linear-probe trainer smoke test incl. frozen-backbone checkpoint load."""
 
+import pytest
 import jax
 import ml_collections as mlc
 import numpy as np
@@ -7,6 +8,8 @@ import numpy as np
 from small_vision_tpu.train import linear_ae, train_ae
 
 from tests.test_train import smoke_config
+
+pytestmark = pytest.mark.slow
 
 
 def lp_config():

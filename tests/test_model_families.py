@@ -15,6 +15,8 @@ from small_vision_tpu.train import train_ae
 
 from tests.test_train import smoke_config
 
+pytestmark = pytest.mark.slow
+
 FAMILIES = {
     "umd": dict(no_noise_prob=0.5, mask_ratio=0.375,
                 mask_ratio_no_noise=0.75, adaln=True),

@@ -2,6 +2,7 @@
 model_init warm-start."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -38,6 +39,7 @@ def test_map_head_pooling():
   assert out.shape == (2, 32)
 
 
+@pytest.mark.slow
 def test_model_init_warm_start(tmp_path):
   """train_ae warm-starts from a flat npz of params (zoo format)."""
   import ml_collections as mlc

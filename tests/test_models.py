@@ -43,6 +43,7 @@ def test_ae_no_mask_path():
   assert pred.shape == (2, 16, 16, 6)
 
 
+@pytest.mark.slow
 def test_ae_scan_and_loop_same_param_count():
   def n_params(m):
     x = jnp.zeros((1, 16, 16, 3))
@@ -55,6 +56,7 @@ def test_ae_scan_and_loop_same_param_count():
   assert a == b
 
 
+@pytest.mark.slow
 def test_ae_class_conditional_and_cfg():
   model = ae_mod._ViTAE(num_classes=10, adaln=True, scan=False, **TINY)
   bs = 4

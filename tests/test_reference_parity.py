@@ -1,0 +1,395 @@
+"""Differential parity tests against the reference implementation.
+
+The reference tree at /root/reference (big_vision UMD) is importable from
+this repo with TF 2.21 present; these tests compare this framework's output
+against the reference's own functions — diffusion tables and math
+(gaussian_diffusion.py), pp ops (pp/ops_image.py, ops_general.py via the TF
+graph ops), the inception-crop box distribution
+(tf.image.sample_distorted_bounding_box), and a same-weights model forward
+through the checkpoint converter (utils/convert_ref.py).
+
+Skipped wholesale when /root/reference is absent.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF_ROOT = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF_ROOT, "big_vision")),
+    reason="reference tree not present")
+
+if REF_ROOT not in sys.path:
+  sys.path.insert(0, REF_ROOT)
+
+# The reference's autoaugment imports tensorflow_addons (not installed); only
+# the full AA policy set needs it, which these tests never touch.
+for _m in ("tensorflow_addons", "tensorflow_addons.image"):
+  sys.modules.setdefault(_m, types.ModuleType(_m))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from small_vision_tpu.ops import diffusion as my_gd  # noqa: E402
+# Registration side effects for this framework's pp ops.
+import small_vision_tpu.pp.ops_general  # noqa: E402,F401
+import small_vision_tpu.pp.ops_image  # noqa: E402,F401
+
+
+@pytest.fixture(scope="module")
+def ref_gd():
+  import big_vision.gaussian_diffusion as m
+  return m
+
+
+# ---------------------------------------------------------------------------
+# (a) schedule tables — float64-exact for cosine+linear
+# ---------------------------------------------------------------------------
+
+_LIVE_TABLES = (
+    # Every table a live reference code path reads (q_sample, ddim_sample,
+    # q_posterior mean, eps<->x0). posterior_variance is intentionally NOT
+    # here: the reference computes it with a non-standard formula
+    # (gaussian_diffusion.py:43 divides by 1-acp[-1]) but never uses the
+    # value (p_mean_variance discards it) — we keep the standard DDPM
+    # posterior instead; see test_posterior_variance_is_standard.
+    "betas", "alphas_cumprod", "alphas_cumprod_prev",
+    "sqrt_alphas_cumprod", "sqrt_one_minus_alphas_cumprod",
+    "sqrt_recip_alphas_cumprod", "sqrt_recipm1_alphas_cumprod",
+    "posterior_mean_coef1", "posterior_mean_coef2",
+)
+
+
+@pytest.mark.parametrize("sched", ["cosine", "linear"])
+@pytest.mark.parametrize("steps", [1000, 50])
+def test_schedule_tables_match_reference(ref_gd, sched, steps):
+  ref = ref_gd.create_gaussian_diffusion(sched, steps)
+  # The float64 beta table itself must be bit-identical (SURVEY §7 hard part).
+  np.testing.assert_array_equal(
+      my_gd.make_beta_schedule(sched, steps), ref["betas"])
+  mine = my_gd.GaussianDiffusion.create(sched, steps)
+  for k in _LIVE_TABLES:
+    # Ours are stored float32 (device tables); the reference feeds float64
+    # numpy into jit, where XLA casts to f32 at trace time — so f32-cast
+    # equality is the operative contract.
+    np.testing.assert_array_equal(
+        np.asarray(getattr(mine, k)), ref[k].astype(np.float32), err_msg=k)
+
+
+def test_posterior_variance_is_standard():
+  """Our posterior_variance follows DDPM eq. 7 (the reference's own
+  q_posterior docstring), not the reference's unused non-standard value."""
+  mine = my_gd.GaussianDiffusion.create("cosine", 100)
+  betas = my_gd.make_beta_schedule("cosine", 100)
+  acp = np.cumprod(1 - betas)
+  acp_prev = np.append(1.0, acp[:-1])
+  std = betas * (1 - acp_prev) / (1 - acp)
+  np.testing.assert_array_equal(
+      np.asarray(mine.posterior_variance), std.astype(np.float32))
+
+
+# ---------------------------------------------------------------------------
+# (b) diffusion functions on random tensors
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def gd_pair(ref_gd):
+  return (my_gd.GaussianDiffusion.create("cosine", 100),
+          ref_gd.create_gaussian_diffusion("cosine", 100))
+
+
+def _rand(shape, seed):
+  return np.random.default_rng(seed).normal(size=shape).astype(np.float32)
+
+
+def test_q_sample_and_conversions_match(ref_gd, gd_pair):
+  mine, ref = gd_pair
+  x0 = _rand((4, 8, 8, 3), 0)
+  noise = _rand((4, 8, 8, 3), 1)
+  t = np.array([0, 7, 42, 99], np.int32)
+  t_ref = t[:, None]  # reference carries (B, 1)
+
+  np.testing.assert_allclose(
+      my_gd.q_sample(mine, x0, t, noise),
+      ref_gd.q_sample(gd=ref, x_start=x0, t=t_ref, noise=noise),
+      rtol=0, atol=1e-6)
+
+  x_t = np.asarray(my_gd.q_sample(mine, x0, t, noise))
+  eps = _rand((4, 8, 8, 3), 2)
+  np.testing.assert_allclose(
+      my_gd.predict_xstart_from_eps(mine, x_t, t, eps),
+      ref_gd._predict_xstart_from_eps(ref, x_t=x_t, t=t_ref, eps=eps),
+      rtol=2e-5, atol=1e-5)  # ref runs in f64 numpy; ours f32 on device
+  np.testing.assert_allclose(
+      my_gd.predict_eps_from_xstart(mine, x_t, t, x0),
+      ref_gd._predict_eps_from_xstart(ref, x_t, t_ref, x0),
+      rtol=2e-5, atol=1e-5)
+  np.testing.assert_allclose(
+      my_gd.q_posterior_mean(mine, x0, x_t, t),
+      ref_gd.q_posterior_mean_variance(ref, x_start=x0, x_t=x_t,
+                                       t=t_ref)[0],
+      rtol=0, atol=1e-6)
+  np.testing.assert_allclose(
+      np.asarray(my_gd.snr(mine, t)).ravel(),
+      np.asarray(ref_gd.snr(gd=ref, t=t)).ravel(), rtol=1e-6)
+
+
+def _fake_eps_model(x_t, t, rng, y=None, cfg_scale=None):
+  """Deterministic stand-in eps model used identically on both sides."""
+  del rng, y, cfg_scale
+  tb = t.reshape(t.shape[0], 1, 1, 1).astype(jnp.float32)
+  return jnp.tanh(x_t) * 0.7 + 0.001 * tb
+
+
+@pytest.mark.parametrize("clip", [False, True])
+def test_ddim_step_matches(ref_gd, gd_pair, clip):
+  mine, ref = gd_pair
+  x = _rand((4, 8, 8, 3), 3)
+  t = np.array([5, 17, 55, 99], np.int32)
+  t_next = np.array([4, 12, 50, 90], np.int32)
+  rng = jax.random.PRNGKey(0)
+  # eta=0 → deterministic update; both sides must agree exactly.
+  out_mine = my_gd.ddim_step(mine, _fake_eps_model, jnp.asarray(x), t, t_next,
+                             rng, eta=0.0, clip_denoised=clip)
+  out_ref = ref_gd.ddim_sample(ref, _fake_eps_model, jnp.asarray(x),
+                               t[:, None], t_next[:, None], rng,
+                               clip_denoised=clip, eta=0.0)
+  np.testing.assert_allclose(out_mine["pred_xstart"], out_ref["pred_xstart"],
+                             rtol=0, atol=2e-5)
+  np.testing.assert_allclose(out_mine["sample"], out_ref["sample"],
+                             rtol=0, atol=2e-5)
+
+
+def test_ddim_sample_loop_matches(ref_gd, gd_pair):
+  """Full sampling loop (ladder + scan + final t=0 step) at eta=0."""
+  mine, ref = gd_pair
+  rng = jax.random.PRNGKey(7)
+  shape = (4, 8, 8, 3)
+  out_mine = my_gd.ddim_sample_loop(mine, _fake_eps_model, rng, shape,
+                                    sampling_steps=10, eta=0.0,
+                                    clip_denoised=True)
+  # The reference loop scans over gd tables; feed device arrays as its
+  # trainer does (train_ae.py:183-185 reshards gd into the train_state).
+  ref_dev = jax.tree.map(jnp.asarray, ref)
+  out_ref, _ = ref_gd.ddim_sample_loop(ref_dev, _fake_eps_model, rng,
+                                       jnp.zeros(shape), sampling_steps=10,
+                                       eta=0.0, clip_denoised=True)
+  np.testing.assert_allclose(out_mine["sample"], out_ref["sample"],
+                             rtol=0, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# (c) pp ops vs the reference TF graph ops
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_pp():
+  from big_vision.pp import ops_image as ref_ops_image  # registry side-effect
+  from big_vision.pp import ops_general as ref_ops_general  # noqa: F401
+  from big_vision.pp import builder as ref_builder
+  return ref_builder
+
+
+def _my_host_pp(spec):
+  from small_vision_tpu.pp.builder import get_preprocess_fn
+  host_fn, device_fn = get_preprocess_fn(spec)
+  assert device_fn is None, f"{spec} unexpectedly has device ops"
+  return host_fn
+
+
+@pytest.mark.parametrize("spec,shape", [
+    ("resize(24)", (37, 53, 3)),
+    ("resize((16, 28))", (37, 53, 3)),
+    ("resize_small(24)", (48, 64, 3)),
+    ("resize_small(24)", (64, 48, 3)),
+    ("central_crop(24)", (37, 53, 3)),
+    ("resize_small(64)|central_crop(64)", (96, 128, 3)),
+])
+def test_host_pp_ops_exact(ref_pp, spec, shape):
+  img = np.random.default_rng(0).integers(0, 256, shape, dtype=np.uint8)
+  ref_fn = ref_pp.get_preprocess_fn(spec, log_data=False)
+  ref_out = np.asarray(ref_fn({"image": img.copy()})["image"])
+  my_out = np.asarray(_my_host_pp(spec)({"image": img.copy()})["image"])
+  np.testing.assert_array_equal(my_out, ref_out, err_msg=spec)
+
+
+def test_value_range_matches(ref_pp):
+  img = np.random.default_rng(1).integers(0, 256, (8, 8, 3), dtype=np.uint8)
+  ref_fn = ref_pp.get_preprocess_fn("value_range(-1, 1)", log_data=False)
+  ref_out = np.asarray(ref_fn({"image": img.astype(np.float32)})["image"])
+  from small_vision_tpu.pp.builder import get_preprocess_fn
+  host_fn, device_fn = get_preprocess_fn("value_range(-1, 1)")
+  batch = {"image": img[None].astype(np.float32)}
+  my_out = np.asarray(
+      jax.jit(device_fn)(host_fn(batch), jax.random.PRNGKey(0))["image"][0])
+  np.testing.assert_allclose(my_out, ref_out, rtol=0, atol=1e-6)
+
+
+def test_inception_crop_box_distribution_matches_tf():
+  """KS-test the (h, w, y0, x0) marginals of our sampler against
+  tf.image.sample_distorted_bounding_box (reference ops_image.py:222-235)."""
+  import tensorflow as tf
+  from scipy import stats
+  from small_vision_tpu.pp.ops_image import _sample_inception_box
+
+  H, W, N = 57, 83, 4000
+  area_min = 20
+
+  rng = np.random.default_rng(0)
+  mine = np.array([_sample_inception_box(rng, H, W, area_min)
+                   for _ in range(N)])  # (N, 4): y0, x0, h, w
+
+  tf.random.set_seed(0)
+  @tf.function
+  def draw():
+    begin, size, _ = tf.image.sample_distorted_bounding_box(
+        tf.constant([H, W, 3]), tf.zeros([0, 0, 4], tf.float32),
+        area_range=(area_min / 100, 1.0), min_object_covered=0,
+        aspect_ratio_range=(0.75, 1.33),
+        use_image_if_no_bounding_boxes=True)
+    return begin, size
+  theirs = []
+  for _ in range(N):
+    begin, size = draw()
+    theirs.append([int(begin[0]), int(begin[1]), int(size[0]), int(size[1])])
+  theirs = np.array(theirs)
+
+  for i, name in enumerate(["y0", "x0", "h", "w"]):
+    p = stats.ks_2samp(mine[:, [2, 3, 0, 1][i] if False else i],
+                       theirs[:, i]).pvalue
+    assert p > 1e-3, (f"{name} distribution diverges (KS p={p:.2e}); "
+                      f"mine mean={mine[:, i].mean():.2f} "
+                      f"tf mean={theirs[:, i].mean():.2f}")
+  # Joint sanity: crop area distributions.
+  p_area = stats.ks_2samp(mine[:, 2] * mine[:, 3],
+                          theirs[:, 2] * theirs[:, 3]).pvalue
+  assert p_area > 1e-3, f"area distribution diverges (KS p={p_area:.2e})"
+
+
+# ---------------------------------------------------------------------------
+# (d) same-weights model forward through the checkpoint converter
+# ---------------------------------------------------------------------------
+
+_TINY = dict(num_classes=10, img_size=16, patch_size=(4, 4), width=32,
+             depth=2, dec_depth=1, num_heads=4, scan=True, adaln=True,
+             dtype_mm="float32")
+
+
+@pytest.fixture(scope="module")
+def converted_pair():
+  from big_vision.models import ae as ref_ae
+  from small_vision_tpu.models import ae as my_ae
+  from small_vision_tpu.utils import convert_ref
+
+  ref_model = ref_ae.Model(**_TINY)
+  my_model = my_ae.Model(**_TINY)
+  rng = jax.random.PRNGKey(0)
+  rngs = {"params": rng, "dropout": rng, "mae_noise": rng, "cfg": rng}
+  x = jnp.zeros((2, 16, 16, 3))
+  ref_params = ref_model.init(
+      rngs, x, t=jnp.zeros((2, 1), jnp.int32), train=True, mask=0.375
+  )["params"]
+  my_params = convert_ref.ref_to_ours(ref_params, patch_size=4)
+  return ref_model, my_model, ref_params, my_params
+
+
+def test_converted_tree_structure_matches_init(converted_pair):
+  _, my_model, _, my_params = converted_pair
+  rng = jax.random.PRNGKey(1)
+  rngs = {"params": rng, "dropout": rng, "mae_noise": rng, "cfg": rng}
+  native = my_model.init(rngs, jnp.zeros((2, 16, 16, 3)),
+                         t=jnp.zeros((2,), jnp.int32), train=True,
+                         mask=0.375)["params"]
+  native_shapes = jax.tree.map(lambda a: a.shape, native)
+  conv_shapes = jax.tree.map(lambda a: a.shape, my_params)
+  assert jax.tree_util.tree_structure(native_shapes) == (
+      jax.tree_util.tree_structure(conv_shapes))
+  assert native_shapes == conv_shapes
+
+
+def test_forward_parity_with_converted_params(converted_pair):
+  """Same weights + same inputs → same prediction (mask=0: deterministic)."""
+  ref_model, my_model, ref_params, my_params = converted_pair
+  x = _rand((3, 16, 16, 3), 11)
+  t = np.array([1, 25, 49], np.int32)
+  y = np.array([0, 3, 9], np.int32)
+
+  ref_pred, ref_out = ref_model.apply(
+      {"params": ref_params}, x, t=jnp.asarray(t)[:, None], y=jnp.asarray(y),
+      train=False, mask=0.0)
+  my_pred, my_out = my_model.apply(
+      {"params": my_params}, x, t=jnp.asarray(t), y=jnp.asarray(y),
+      train=False, mask=0.0)
+  np.testing.assert_allclose(my_pred, ref_pred, rtol=0, atol=2e-5)
+  np.testing.assert_allclose(my_out["pre_logits"], ref_out["pre_logits"],
+                             rtol=0, atol=2e-5)
+
+
+def test_forward_parity_unconditional_and_cfg(converted_pair):
+  ref_model, my_model, ref_params, my_params = converted_pair
+  x = _rand((2, 16, 16, 3), 12)
+  t = np.array([10, 30], np.int32)
+  # y=None → null-class conditioning on both sides.
+  ref_pred, _ = ref_model.apply({"params": ref_params}, x,
+                                t=jnp.asarray(t)[:, None], train=False)
+  my_pred, _ = my_model.apply({"params": my_params}, x, t=jnp.asarray(t),
+                              train=False)
+  np.testing.assert_allclose(my_pred, ref_pred, rtol=0, atol=2e-5)
+  # CFG double-batch extrapolation.
+  y = np.array([1, 7], np.int32)
+  ref_pred, _ = ref_model.apply(
+      {"params": ref_params}, x, t=jnp.asarray(t)[:, None], y=jnp.asarray(y),
+      cfg_scale=2.5, train=False)
+  my_pred, _ = my_model.apply(
+      {"params": my_params}, x, t=jnp.asarray(t), y=jnp.asarray(y),
+      cfg_scale=2.5, train=False)
+  np.testing.assert_allclose(my_pred, ref_pred, rtol=0, atol=5e-5)
+
+
+def test_loss_formula_parity_on_same_preds(converted_pair, ref_gd):
+  """The diffusion loss (eps+x0 MSE halves, no masking) computed by both
+  stacks on the SAME externally drawn batch/t/noise matches ~1e-6."""
+  ref_model, my_model, ref_params, my_params = converted_pair
+  gd_ref = ref_gd.create_gaussian_diffusion("cosine", 50)
+  gd_mine = my_gd.GaussianDiffusion.create("cosine", 50)
+  x0 = _rand((4, 16, 16, 3), 13)
+  noise = _rand((4, 16, 16, 3), 14)
+  t = np.array([0, 9, 23, 49], np.int32)
+  y = np.array([2, 4, 6, 8], np.int32)
+
+  x_t_ref = ref_gd.q_sample(gd=gd_ref, x_start=x0, t=t[:, None], noise=noise)
+  x_t_mine = my_gd.q_sample(gd_mine, x0, t, noise)
+  np.testing.assert_allclose(x_t_mine, x_t_ref, rtol=0, atol=1e-6)
+
+  def loss_of(pred):
+    pred_x0, pred_eps = pred[..., :3], pred[..., 3:]
+    return (jnp.mean((pred_eps - noise) ** 2)
+            + jnp.mean((pred_x0 - x0) ** 2)) / 2
+
+  ref_pred, _ = ref_model.apply(
+      {"params": ref_params}, x_t_ref, t=jnp.asarray(t)[:, None] + 1,
+      y=jnp.asarray(y), train=False, mask=0.0)
+  my_pred, _ = my_model.apply(
+      {"params": my_params}, x_t_mine, t=jnp.asarray(t) + 1,
+      y=jnp.asarray(y), train=False, mask=0.0)
+  np.testing.assert_allclose(float(loss_of(my_pred)),
+                             float(loss_of(ref_pred)), rtol=1e-5)
+
+
+def test_converter_roundtrip_exact(converted_pair):
+  from small_vision_tpu.utils import convert_ref
+  ref_model, _, ref_params, my_params = converted_pair
+  back = convert_ref.ours_to_ref(my_params, patch_size=4)
+  flat_a = jax.tree_util.tree_leaves_with_path(
+      convert_ref._to_pure_dict(ref_params))
+  flat_b = jax.tree_util.tree_leaves_with_path(back)
+  assert len(flat_a) == len(flat_b)
+  b = dict(("/".join(str(getattr(k, "key", k)) for k in p), v)
+           for p, v in flat_b)
+  for p, v in flat_a:
+    name = "/".join(str(getattr(k, "key", k)) for k in p)
+    np.testing.assert_array_equal(np.asarray(v), b[name], err_msg=name)

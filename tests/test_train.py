@@ -7,6 +7,8 @@ import pytest
 
 from small_vision_tpu.train import train_ae
 
+pytestmark = pytest.mark.slow
+
 
 def smoke_config(tmpdir=None, **overrides):
   """A tiny UMD config: synthetic data, Ti-scale model, a handful of steps."""

@@ -9,6 +9,8 @@ from small_vision_tpu.models import vae as vae_lib
 
 from tests.test_train import smoke_config
 
+pytestmark = pytest.mark.slow
+
 
 def test_vae_shapes_roundtrip():
   """Tiny-channel AutoencoderKL: encode 8x downsample, decode back."""
