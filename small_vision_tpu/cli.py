@@ -45,6 +45,10 @@ def main(argv=None):
   args = parser.parse_args(argv)
 
   import jax
+  # The interpreter may pre-import jax before env vars are seen; honor an
+  # explicit JAX_PLATFORMS request (e.g. JAX_PLATFORMS=cpu smoke runs) here.
+  if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
   if args.jax_cache:
     os.makedirs(args.jax_cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir",

@@ -14,7 +14,8 @@ def get_config(arg=None):
   arg = cc.parse_arg(
       arg, variant="B/4", batch_size=1024, size=64, adaln=True, epochs=90,
       use_noised_pred=False, latent_diffusion=False, scan=False,
-      data="imagenet2012", pretrain_workdir="", lr=0.1, wd=0.0)
+      data="imagenet2012", pretrain_workdir="", lr=0.1, wd=0.0,
+      runlocal=False)
 
   config = mlc.ConfigDict()
   config.seed = 0
@@ -67,4 +68,22 @@ def get_config(arg=None):
     config.evals["train"] = get_class_eval("train[:2%]")
     config.evals["minival"] = get_class_eval("train[99%:]")
     config.evals["val"] = get_class_eval("validation")
+
+  if arg.runlocal:  # Tiny CPU smoke run (mirrors ae_i1k.py's runlocal).
+    config.input.batch_size = 16
+    config.input.num_workers = 2
+    config.num_classes = 10
+    config.width = 32
+    config.evals = {}
+    config.total_epochs = None
+    config.total_steps = 6
+    config.ckpt_steps = 3
+    config.log_training_steps = 1
+    if arg.data == "synthetic":
+      config.input.data.update(num_examples=128, num_classes=10)
+      config.input.pp = config.input.pp.replace("onehot(1000", "onehot(10")
+    config.model = dict(width=32, depth=1, dec_depth=1, num_heads=4,
+                        img_size=arg.size, patch_size=(4, 4), scan=False,
+                        adaln=arg.adaln, num_classes=None,
+                        dtype_mm="float32")
   return config

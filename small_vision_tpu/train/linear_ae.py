@@ -84,9 +84,12 @@ def train_and_evaluate(config, workdir: Optional[str] = None, mesh=None):
         config, model, mesh, config.get("pretrain_workdir"))
 
     linear_model = LinearCLS(num_classes=num_classes)
-    warmup_steps = max(
-        int(0.05 * config.get("total_epochs", 50))
-        * ntrain_img // batch_size, 1)
+    total_epochs = config.get("total_epochs")
+    if total_epochs:
+      warmup_steps = max(
+          int(0.05 * total_epochs) * ntrain_img // batch_size, 1)
+    else:  # Step-denominated config (e.g. runlocal): 5% of total.
+      warmup_steps = max(total_steps // 20, 1)
     tx, _ = optim.lars_probe_tx(
         base_lr=float(config.get("peak_lr", 0.1)), batch_size=batch_size,
         total_steps=total_steps, warmup_steps=warmup_steps)
@@ -118,6 +121,25 @@ def train_and_evaluate(config, workdir: Optional[str] = None, mesh=None):
         "batch_stats": repl, "rng": repl,
         "gd": jax.tree.map(lambda _: repl, gd)}
     del params, opt, batch_stats, model_params
+
+    # Probe checkpoint/resume (reference linear_ae.py:62-65,167-188): the
+    # probe's own state (head params/opt/bn stats/rng) is saved under
+    # {workdir}/probe; the frozen backbone always reloads from the pretrain
+    # checkpoint, so it is not duplicated here.
+    _PROBE_KEYS = ("params", "opt", "batch_stats", "rng")
+    ckpt_mngr = None
+    start_step = 0
+    if workdir and config.get("save_ckpt", True):
+      import os
+      ckpt_mngr = ckpt_lib.make_manager(os.path.join(workdir, "probe"))
+      saveable = {k: train_state[k] for k in _PROBE_KEYS}
+      abstract = ckpt_lib.abstract_like(
+          saveable, jax.tree.map(lambda x: x.sharding, saveable))
+      restored = ckpt_lib.restore(ckpt_mngr, abstract)
+      if restored is not None:
+        train_state.update(restored)
+        start_step = ckpt_mngr.latest_step()
+        _info(f"Probe resumed from step {start_step}")
 
     def backbone_rep(train_state, images, rng):
       """Frozen forward (t=0, or t=50 noised) → stop-gradient pre_logits."""
@@ -186,8 +208,10 @@ def train_and_evaluate(config, workdir: Optional[str] = None, mesh=None):
 
     log_steps = steps("log_training", config, ntrain_img, batch_size,
                       total_steps, default=100)
+    ckpt_steps = steps("ckpt", config, ntrain_img, batch_size, total_steps,
+                       default=None)
     train_it = iter(train_iter)
-    for step in range(1, total_steps + 1):
+    for step in range(start_step + 1, total_steps + 1):
       batch = next(train_it)
       mw.step_start(step)
       train_state, measurements = update_fn(train_state, batch)
@@ -198,11 +222,19 @@ def train_and_evaluate(config, workdir: Optional[str] = None, mesh=None):
         chrono.tick(step)
         if not np.isfinite(measurements["training_loss"]):
           raise RuntimeError("Probe loss became NaN/Inf")
+      if ckpt_mngr and itstime(step, ckpt_steps, total_steps, first=False,
+                               last=True):
+        chrono.pause(wait_for=train_state["params"])
+        ckpt_lib.save(ckpt_mngr,
+                      {k: train_state[k] for k in _PROBE_KEYS}, step)
+        chrono.resume()
       for (name, evaluator, ev_steps, prefix) in evaluators:
         if itstime(step, ev_steps, total_steps, first=False, last=True):
           for key, value in evaluator.run(train_state):
             mw.measure(f"{prefix}{key}", value)
       mw.step_end()
 
+    if ckpt_mngr:
+      ckpt_lib.wait_until_finished(ckpt_mngr)
     mw.close()
     return train_state, eval_fns

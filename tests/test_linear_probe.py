@@ -70,3 +70,34 @@ def test_linear_probe_from_pretrain_checkpoint(tmp_path):
   a = jax.tree.leaves(state["params"])[0]
   b = jax.tree.leaves(lp_state["model_params"])[0]
   np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_linear_probe_checkpoint_resume(tmp_path):
+  """Reference linear_ae.py:62-65,167-188: the probe saves and resumes its
+  own head state; a restarted run continues instead of retraining."""
+  import json
+
+  c = lp_config()
+  c.total_steps = 3
+  c.ckpt_steps = 3
+  c.log_training_steps = 1
+  c.evals = {}
+  state1, _ = linear_ae.train_and_evaluate(c, str(tmp_path))
+
+  # Restart with a longer horizon in the same workdir: must resume at 3.
+  c2 = lp_config()
+  c2.total_steps = 6
+  c2.ckpt_steps = 3
+  c2.log_training_steps = 1
+  c2.evals = {}
+  state2, _ = linear_ae.train_and_evaluate(c2, str(tmp_path))
+
+  rows = [json.loads(l) for l in
+          (tmp_path / "sv_tpu_metrics.txt").read_text().splitlines()]
+  steps_logged = [r["step"] for r in rows if "training_loss" in r]
+  # First run logs 1-3; the resumed run logs ONLY 4-6 (no retraining of 1-3).
+  assert steps_logged == [1, 2, 3, 4, 5, 6], steps_logged
+  # The resumed head params start from the checkpoint, not a fresh init.
+  k1 = np.asarray(jax.tree_util.tree_leaves(state1["params"])[0])
+  k2 = np.asarray(jax.tree_util.tree_leaves(state2["params"])[0])
+  assert k1.shape == k2.shape and not np.allclose(k1, 0)
