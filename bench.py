@@ -53,7 +53,15 @@ def _build_step(mode: str, batch_size: int, attn_impl: str = "xla"):
       variant="B/4", img_size=64, scan=not native, adaln=True,
       dtype_mm="bfloat16" if native else "float32",
       attn_impl=attn_impl if native else "xla",
-      remat_policy="nothing_saveable")
+      # Native: unrolled blocks + selective remat keeping only the
+      # (B, L, D) attn/MLP outputs — the full activation set is ~16 GB at
+      # bs256 and triggers cascading XLA auto-remat.
+      remat_policy=(os.environ.get("SV_BENCH_REMAT", "save_attn_mlp")
+                    if native else "nothing_saveable"))
+  # The bench times the steady-state step: heavy l2-norm metrics run only on
+  # log steps in real training (update_fn.with_l2), so the plain variant is
+  # what both modes measure. SV_BENCH_L2=1 benches the l2 variant instead.
+  config.l2_metrics = os.environ.get("SV_BENCH_L2", "0") == "1"
 
   mesh = parallel.make_mesh()
   model = train_ae.build_model(config)
@@ -116,6 +124,8 @@ def _time_train(mode, batch_size, steps, attn_impl="xla"):
   from small_vision_tpu import parallel
   update_fn, train_state, batch, host_batch, mesh = _build_step(
       mode, batch_size, attn_impl)
+  if os.environ.get("SV_BENCH_L2", "0") == "1":
+    update_fn = getattr(update_fn, "with_l2", update_fn)
   sharding = parallel.batch_sharding(mesh)
 
   def fresh():
@@ -190,6 +200,14 @@ def main():
   except Exception:  # noqa: BLE001 — e.g. remote Mosaic compile failure.
     if attn == "xla":
       raise
+    import traceback
+    traceback.print_exc()
+    native = None
+  if native is None:
+    # Retry OUTSIDE the except block: the live traceback would otherwise pin
+    # the failed attempt's on-device train state and OOM the retry.
+    import gc
+    gc.collect()
     attn = "xla"
     native = _time_train("native", batch, steps, attn_impl=attn)
   extras = {"attn_impl": attn}

@@ -1,6 +1,13 @@
 """Micro-bench: attention implementations at UMD-B/4 shapes on the chip.
 
 python scripts/bench_attention.py
+
+Measurement notes (this box reaches the TPU through a tunnel):
+  - device→host transfers run at ~11 MB/s, so NEVER device_get a tensor —
+    reduce to a scalar on device and fetch that;
+  - per-dispatch latency is ~0.7 ms, so the op under test runs inside a
+    device-side fori_loop (one dispatch, N iterations, loop-carried data
+    dependency so iterations can't be elided or overlapped).
 """
 
 import os
@@ -19,38 +26,53 @@ import numpy as np
 
 from small_vision_tpu.ops import attention as attn
 
+N = 20
 
-def timeit(fn, *args, n=20):
-  out = fn(*args)
-  float(np.asarray(jax.device_get(out)).reshape(-1)[0])
+
+def dev_time(body, x0, n=N):
+  """Per-iteration device time of body (x -> same-shaped x) via fori_loop."""
+  @jax.jit
+  def run(x):
+    return jax.lax.fori_loop(0, n, lambda i, x: body(x), x)
+
+  out = run(x0)
+  float(jax.device_get(jnp.sum(out[..., :1, :1]).astype(jnp.float32)))
   t0 = time.perf_counter()
-  for _ in range(n):
-    out = fn(*args)
-  float(np.asarray(jax.device_get(out)).reshape(-1)[0])
+  out = run(x0)
+  float(jax.device_get(jnp.sum(out[..., :1, :1]).astype(jnp.float32)))
   return (time.perf_counter() - t0) / n
 
 
 def main():
-  for (b, l, h, d) in [(256, 168, 12, 64), (256, 261, 12, 64)]:
-    ks = jax.random.split(jax.random.PRNGKey(0), 3)
-    q, k, v = (jax.random.normal(kk, (b, l, h, d), jnp.bfloat16)
-               for kk in ks)
+  for (b, l, h, d) in [(128, 164, 12, 64), (128, 257, 12, 64)]:
+    hd = h * d
+    k, v = (jax.random.normal(kk, (b, l, hd), jnp.bfloat16)
+            for kk in jax.random.split(jax.random.PRNGKey(0), 2))
+    q0 = jax.random.normal(jax.random.PRNGKey(2), (b, l, hd), jnp.bfloat16)
 
-    t_xla = timeit(jax.jit(attn.xla_attention), q, k, v)
-    t_pal = timeit(jax.jit(lambda q, k, v: attn.pallas_attention(q, k, v)),
-                   q, k, v)
-    # fwd+bwd comparison
-    def loss_x(q, k, v):
-      return jnp.sum(attn.xla_attention(q, k, v).astype(jnp.float32))
-    def loss_p(q, k, v):
-      return jnp.sum(attn.fused_attention(q, k, v, False).astype(jnp.float32))
-    gx = jax.jit(jax.grad(loss_x, argnums=(0, 1, 2)))
-    gp = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2)))
-    t_gx = timeit(lambda q, k, v: gx(q, k, v)[0], q, k, v)
-    t_gp = timeit(lambda q, k, v: gp(q, k, v)[0], q, k, v)
+    unpack = lambda x: x.reshape(b, l, h, d)
+    t_xla = dev_time(
+        lambda q: attn.xla_attention(unpack(q), unpack(k), unpack(v))
+        .reshape(b, l, hd), q0)
+    t_pal = dev_time(
+        lambda q: attn.pallas_attention_packed(q, k, v, h), q0)
+
+    def gx(q):
+      return jax.grad(lambda q: jnp.sum(
+          attn.xla_attention(unpack(q), unpack(k), unpack(v))
+          .astype(jnp.float32)))(q)
+
+    def gp(q):
+      return jax.grad(lambda q: jnp.sum(
+          attn.fused_attention_packed(q, k, v, h).astype(jnp.float32)))(q)
+
+    t_gx, t_gp = dev_time(gx, q0), dev_time(gp, q0)
+    flops = 2 * 2 * h * l * l * d * b
     print(f"B{b} L{l} H{h} D{d}: fwd xla {t_xla*1e3:6.2f}ms "
-          f"pallas {t_pal*1e3:6.2f}ms | bwd xla {t_gx*1e3:6.2f}ms "
-          f"pallas {t_gp*1e3:6.2f}ms", flush=True)
+          f"({flops/t_xla/1e12:5.1f} TF/s) "
+          f"pallas {t_pal*1e3:6.2f}ms ({flops/t_pal/1e12:5.1f} TF/s) | "
+          f"fwd+bwd xla {t_gx*1e3:6.2f}ms pallas {t_gp*1e3:6.2f}ms",
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -23,8 +23,35 @@ import jax.numpy as jnp
 import numpy as np
 from jax.ad_checkpoint import checkpoint_name
 
-from small_vision_tpu.ops.attention import attention
+from small_vision_tpu.ops import layernorm as ln_lib
+from small_vision_tpu.ops.attention import attention_packed
 from small_vision_tpu.parallel.ctx import constrain
+
+
+class _FusedLN(nn.Module):
+  """LayerNorm(+optional AdaLN modulate), flax-LayerNorm-compatible params.
+
+  Param tree matches `nn.LayerNorm` (scale/bias, f32) — instantiate with
+  name="LayerNorm_N" and checkpoints are interchangeable. On TPU with a
+  pallas attn_impl it runs the fused Pallas kernel (one HBM round trip
+  instead of XLA's multi-output LN fusion + separate modulate, ~0.9 ms →
+  ~0.3 ms per LN at UMD-B/4 bs256); elsewhere it computes the same math in
+  XLA. All statistics in f32; output in x.dtype.
+  """
+  use_pallas: bool = False
+  interpret: bool = False
+
+  @nn.compact
+  def __call__(self, x, shift=None, scale=None):
+    d = x.shape[-1]
+    gamma = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
+    beta = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
+    use_pallas = self.use_pallas and (
+        self.interpret or jax.default_backend() in ("tpu", "axon"))
+    if use_pallas:
+      return ln_lib.fused_ln_modulate(x, gamma, beta, shift, scale, 1e-6,
+                                      self.interpret)
+    return ln_lib.ln_modulate_reference(x, gamma, beta, shift, scale)
 
 
 def modulate(x, shift, scale):
@@ -72,11 +99,67 @@ class MlpBlock(nn.Module):
     return nn.Dense(d, dtype=self.dtype_mm, **inits)(x)
 
 
+class _PackedProj(nn.Module):
+  """Head projection computed on packed (B, L, H*D) tensors.
+
+  Param tree is IDENTICAL to `nn.DenseGeneral` (kernel (d, H, D) / (H, D, d),
+  bias (H, D) / (d,), init drawn on the flattened 2-D shape exactly like
+  flax's `kernel_init_wrap` — flax/linen/linear.py:144-151), but the
+  activation never takes the 4-D (B, L, H, D) form: XLA laid those out
+  batch-minor ({0,3,2,1}) for its matmul and then paid a full layout copy at
+  every Pallas-kernel boundary (~30 ms/step at UMD-B/4 bs256, measured via
+  xprof). Computing on a 2-D-reshaped kernel keeps every activation
+  (B, L, H*D) row-major, which is the layout the packed Pallas attention
+  kernels require — so the copies vanish.
+  """
+  features: Sequence[int]  # (num_heads, head_dim); kernel is (d, H, D)
+  dtype_mm: str = "bfloat16"
+
+  @nn.compact
+  def __call__(self, x):
+    d_in = x.shape[-1]
+    h, hd = self.features
+    flat_out = h * hd
+
+    def kernel_init(rng, shape, dtype):
+      flat = nn.initializers.xavier_uniform()(rng, (d_in, flat_out), dtype)
+      return flat.reshape(shape)
+
+    kernel = self.param("kernel", kernel_init, (d_in, h, hd), jnp.float32)
+    bias = self.param("bias", nn.initializers.zeros, (h, hd), jnp.float32)
+    y = jnp.dot(x.astype(self.dtype_mm),
+                kernel.reshape(d_in, flat_out).astype(self.dtype_mm))
+    return y + bias.reshape(flat_out).astype(self.dtype_mm)
+
+
+class _PackedOutProj(nn.Module):
+  """Out-projection on packed tensors; params match DenseGeneral(axis=(-2,-1))."""
+  num_heads: int
+  head_dim: int
+  features: int
+  dtype_mm: str = "bfloat16"
+
+  @nn.compact
+  def __call__(self, o):  # o: (B, L, H*D)
+    h, hd, d = self.num_heads, self.head_dim, self.features
+
+    def kernel_init(rng, shape, dtype):
+      flat = nn.initializers.xavier_uniform()(rng, (h * hd, d), dtype)
+      return flat.reshape(shape)
+
+    kernel = self.param("kernel", kernel_init, (h, hd, d), jnp.float32)
+    bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
+    y = jnp.dot(o.astype(self.dtype_mm),
+                kernel.reshape(h * hd, d).astype(self.dtype_mm))
+    return y + bias.astype(self.dtype_mm)
+
+
 class MultiHeadAttention(nn.Module):
   """Self-attention with explicit q/k/v/out projections.
 
   Param layout matches flax MHA (kernel shapes (d, heads, head_dim)) so
-  tensor-parallel regex rules and checkpoint tooling see standard names.
+  tensor-parallel regex rules and checkpoint tooling see standard names —
+  but activations stay packed (B, L, H*D) end-to-end (see _PackedProj).
   """
   num_heads: int
   dtype_mm: str = "bfloat16"
@@ -87,22 +170,21 @@ class MultiHeadAttention(nn.Module):
     d = x.shape[-1]
     assert d % self.num_heads == 0
     head_dim = d // self.num_heads
-    proj = lambda name: nn.DenseGeneral(
-        features=(self.num_heads, head_dim), axis=-1, name=name,
-        kernel_init=nn.initializers.xavier_uniform(), dtype=self.dtype_mm)
+    proj = lambda name: _PackedProj(
+        features=(self.num_heads, head_dim), name=name,
+        dtype_mm=self.dtype_mm)
     q, k, v = proj("query")(x), proj("key")(x), proj("value")(x)
 
-    o = attention(q, k, v,
-                  use_pallas=self.attn_impl.startswith("pallas"),
-                  interpret=self.attn_impl == "pallas_interpret")
+    o = attention_packed(q, k, v, self.num_heads,
+                         use_pallas=self.attn_impl.startswith("pallas"),
+                         interpret=self.attn_impl == "pallas_interpret")
     # Named for remat: policy "save_attn" keeps this (cheap, (B,L,D)-sized)
     # so backward skips recomputing the attention forward.
     o = checkpoint_name(o, "attn_out")
 
-    return nn.DenseGeneral(
-        features=d, axis=(-2, -1), name="out",
-        kernel_init=nn.initializers.xavier_uniform(),
-        dtype=self.dtype_mm)(o)
+    return _PackedOutProj(
+        num_heads=self.num_heads, head_dim=head_dim, features=d,
+        name="out", dtype_mm=self.dtype_mm)(o)
 
 
 class Block(nn.Module):
@@ -136,10 +218,15 @@ class Block(nn.Module):
     x = constrain(x, "batch", None, "embed")
     # LayerNorm statistics in fp32, output cast back to the compute dtype so
     # the residual stream stays bf16 (fp32 LN outputs would silently promote
-    # every downstream tensor and double HBM traffic).
-    y = nn.LayerNorm()(x).astype(self.dtype_mm)
-    if use_adaln:
-      y = modulate(y, shift_a, scale_a)
+    # every downstream tensor and double HBM traffic). The LN and the AdaLN
+    # modulate run as ONE fused Pallas kernel on TPU (see _FusedLN).
+    fused_pallas = self.attn_impl.startswith("pallas")
+    interp = self.attn_impl == "pallas_interpret"
+    fln = lambda name: _FusedLN(use_pallas=fused_pallas, interpret=interp,
+                                name=name)
+    y = fln("LayerNorm_0")(
+        x, shift_a if use_adaln else None,
+        scale_a if use_adaln else None).astype(self.dtype_mm)
     y = MultiHeadAttention(num_heads=self.num_heads, dtype_mm=self.dtype_mm,
                            attn_impl=self.attn_impl)(y)
     if use_adaln:
@@ -148,11 +235,15 @@ class Block(nn.Module):
     y = nn.Dropout(rate=self.dropout)(y, deterministic)
     x = x + y
 
-    y = nn.LayerNorm()(x).astype(self.dtype_mm)
-    if use_adaln:
-      y = modulate(y, shift_m, scale_m)
+    y = fln("LayerNorm_1")(
+        x, shift_m if use_adaln else None,
+        scale_m if use_adaln else None).astype(self.dtype_mm)
     y = MlpBlock(mlp_dim=self.mlp_dim, dropout=self.dropout,
                  dtype_mm=self.dtype_mm)(y, deterministic)
+    # Named for remat: "save_attn_mlp" keeps this (B, L, D) tensor so the
+    # backward recompute stops at the down-projection instead of re-running
+    # the (B, L, 4D) up-projection + gelu.
+    y = checkpoint_name(y, "mlp_out")
     if use_adaln:
       y = gate_m[:, None, :] * y
     y = nn.Dropout(rate=self.dropout)(y, deterministic)
@@ -183,6 +274,28 @@ class Encoder(nn.Module):
     kw = dict(mlp_dim=self.mlp_dim, num_heads=self.num_heads,
               dropout=self.dropout, adaln=self.adaln,
               dtype_mm=self.dtype_mm, attn_impl=self.attn_impl)
+
+    def remat_block():
+      if self.remat_policy == "save_attn":
+        policy = jax.checkpoint_policies.save_only_these_names("attn_out")
+      elif self.remat_policy == "save_attn_mlp":
+        # Save only the (B, L, D)-sized attention and MLP outputs per block:
+        # ~3 residual-stream tensors per block live in HBM instead of the
+        # full activation set (the (B, L, 4D) MLP hidden alone is 4x the
+        # stream). Backward recomputes the LNs and the q/k/v/out/up
+        # projections — cheap next to letting XLA auto-remat under HBM
+        # pressure, which cascades (observed .remat3 recomputes) and
+        # degrades matmul layouts.
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "attn_out", "mlp_out")
+      else:
+        policy = getattr(jax.checkpoint_policies, self.remat_policy, None)
+      return nn.remat(
+          Block,
+          prevent_cse=False,
+          static_argnums=(-1,),  # deterministic
+          policy=policy)
+
     if self.scan:
       if self.remat_policy in ("none", None):
         # No rematerialization: with fused attention kernels, recomputing
@@ -190,15 +303,7 @@ class Encoder(nn.Module):
         # activations fit HBM comfortably. Scan still bounds compile size.
         block_cls = Block
       else:
-        if self.remat_policy == "save_attn":
-          policy = jax.checkpoint_policies.save_only_these_names("attn_out")
-        else:
-          policy = getattr(jax.checkpoint_policies, self.remat_policy, None)
-        block_cls = nn.remat(
-            Block,
-            prevent_cse=False,
-            static_argnums=(-1,),  # deterministic
-            policy=policy)
+        block_cls = remat_block()
       x, _ = nn.scan(
           block_cls,
           variable_axes={"params": 0},
@@ -208,8 +313,15 @@ class Encoder(nn.Module):
           metadata_params={nn.PARTITION_NAME: None},
       )(**kw, name="blocks")(x, cond, deterministic)
     else:
+      # Unrolled path: selective "save_*" policies apply explicit per-block
+      # remat; the legacy full policies keep the historical no-remat
+      # behavior (XLA decides, which is fine when activations fit HBM).
+      if self.remat_policy in ("save_attn", "save_attn_mlp"):
+        block_cls = remat_block()
+      else:
+        block_cls = Block
       for i in range(self.depth):
-        x, _ = Block(**kw, name=f"blocks_{i:02d}")(x, cond, deterministic)
+        x, _ = block_cls(**kw, name=f"blocks_{i:02d}")(x, cond, deterministic)
     return nn.LayerNorm(name="encoder_norm")(x)
 
 

@@ -441,6 +441,25 @@ def _fused_attention_bwd(interpret, residuals, g):
 fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
 
 
+def attention_packed(q, k, v, num_heads, use_pallas=False, interpret=False):
+  """Dispatch on packed (B, L, H*D) tensors — the model's native layout.
+
+  The packed form never materializes 4-D (B, L, H, D) activations, so XLA
+  keeps everything row-major and no layout copies appear at the Pallas
+  boundary (they cost ~30 ms/step at UMD-B/4 bs256 when the 4-D form leaks
+  into the graph). On non-TPU backends falls back to the einsum path.
+  """
+  if use_pallas and not interpret and jax.default_backend() not in (
+      "tpu", "axon"):
+    use_pallas = False
+  if use_pallas:
+    return fused_attention_packed(q, k, v, num_heads, interpret)
+  b, l, hd = q.shape
+  d = hd // num_heads
+  unpack = lambda x: x.reshape(b, l, num_heads, d)
+  return xla_attention(unpack(q), unpack(k), unpack(v)).reshape(b, l, hd)
+
+
 def attention(q, k, v, use_pallas=False, interpret=False):
   """Dispatch: packed Pallas path (zero layout passes) or XLA einsums.
 

@@ -68,13 +68,15 @@ def make_update_fn(model, tx, config, device_pp, mesh,
   channels = int(config.get("diffusion_space", (64, 64, 3))[-1])
   latent = bool(config.get("latent_diffusion", False))
   pre_latents = bool(config.get("use_preprocessed_latents", False))
+  # l2_params/l2_updates/l2_grads parity metrics (the reference computes them
+  # every step inside update_fn). They cost ~10% of the step (three full
+  # passes over params+updates+grads fused into the weight-grad matmuls), so
+  # the trainer compiles TWO variants and runs the heavy one only on log
+  # steps (`update_fn.with_l2`); `l2_metrics=False` disables them entirely.
+  l2_metrics = bool(config.get("l2_metrics", True))
   repl = parallel.replicated_sharding(mesh)
 
-  @functools.partial(
-      jax.jit,
-      donate_argnums=(0, 1),
-      out_shardings=(train_state_sharding, repl))
-  def update_fn(train_state, batch):
+  def update_fn_impl(train_state, batch, with_l2):
     rng = train_state["rng"]
     gd = train_state["gd"]
 
@@ -151,9 +153,10 @@ def make_update_fn(model, tx, config, device_pp, mesh,
     params = optax.apply_updates(params, updates)
 
     measurements = {"training_loss": loss}
-    measurements["l2_params"] = optax.global_norm(params)
-    measurements["l2_updates"] = optax.global_norm(updates)
-    measurements["l2_grads"] = optax.global_norm(grads)
+    if with_l2:
+      measurements["l2_params"] = optax.global_norm(params)
+      measurements["l2_updates"] = optax.global_norm(updates)
+      measurements["l2_grads"] = optax.global_norm(grads)
 
     new_state = {"params": params, "opt": opt, "rng": rng, "gd": gd}
     if ema_decay:
@@ -163,6 +166,19 @@ def make_update_fn(model, tx, config, device_pp, mesh,
       new_state["vae_params"] = train_state["vae_params"]
     return new_state, measurements
 
+  def _jit(with_l2):
+    return jax.jit(
+        functools.partial(update_fn_impl, with_l2=with_l2),
+        donate_argnums=(0, 1),
+        out_shardings=(train_state_sharding, repl))
+
+  update_fn = _jit(False)
+  # `.with_l2` is the log-step variant (same state in/out, extra metrics).
+  # jax.jit wrappers accept attribute assignment; fall back to plain if not.
+  try:
+    update_fn.with_l2 = _jit(True) if l2_metrics else update_fn
+  except AttributeError:  # pragma: no cover
+    pass
   return update_fn
 
 
@@ -568,15 +584,22 @@ def train_and_evaluate(config, workdir: Optional[str] = None, mesh=None):
     for step in range(first_step + 1, total_steps + 1):
       batch = next(train_it)
       mw.step_start(step)
+      # Heavy parity metrics (l2 norms) only on steps that log them. The
+      # variant choice must be HOST-INDEPENDENT (host=None): every process
+      # must run the same XLA program or multihost collectives desync.
+      metrics_now = itstime(step, log_steps, total_steps)
+      log_now = metrics_now and jax.process_index() == 0
+      step_fn = getattr(update_fn, "with_l2", update_fn) if metrics_now \
+          else update_fn
       with jax.profiler.StepTraceAnnotation("train_step", step_num=step):
-        train_state, measurements = update_fn(train_state, batch)
+        train_state, measurements = step_fn(train_state, batch)
 
       if config.get("profile") and jax.process_index() == 0:
         from small_vision_tpu.utils.misc import startstop_prof
         prof = startstop_prof(prof, step, first_step, log_steps,
                               workdir=workdir)
 
-      if itstime(step, log_steps, total_steps, host=0):
+      if log_now:
         measurements = jax.device_get(measurements)
         measurements["epochs"] = step * batch_size / ntrain_img
         for name, value in measurements.items():
