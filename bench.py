@@ -53,10 +53,12 @@ def _build_step(mode: str, batch_size: int, attn_impl: str = "xla"):
       variant="B/4", img_size=64, scan=not native, adaln=True,
       dtype_mm="bfloat16" if native else "float32",
       attn_impl=attn_impl if native else "xla",
-      # Native: unrolled blocks + selective remat keeping only the
-      # (B, L, D) attn/MLP outputs — the full activation set is ~16 GB at
-      # bs256 and triggers cascading XLA auto-remat.
-      remat_policy=(os.environ.get("SV_BENCH_REMAT", "save_attn_mlp")
+      # Native: unrolled blocks, XLA auto-remat (measured faster than
+      # explicit save_attn_mlp remat at bs256: 933 vs 834 imgs/s — XLA's
+      # choice of what to rematerialize under HBM pressure beats the
+      # hand-picked policy on time; use save_attn_mlp when memory, not
+      # time, binds, e.g. bs512).
+      remat_policy=(os.environ.get("SV_BENCH_REMAT", "nothing_saveable")
                     if native else "nothing_saveable"))
   # The bench times the steady-state step: heavy l2-norm metrics run only on
   # log steps in real training (update_fn.with_l2), so the plain variant is

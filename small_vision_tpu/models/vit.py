@@ -275,7 +275,7 @@ class Encoder(nn.Module):
               dropout=self.dropout, adaln=self.adaln,
               dtype_mm=self.dtype_mm, attn_impl=self.attn_impl)
 
-    def remat_block():
+    def remat_block(prevent_cse):
       if self.remat_policy == "save_attn":
         policy = jax.checkpoint_policies.save_only_these_names("attn_out")
       elif self.remat_policy == "save_attn_mlp":
@@ -290,9 +290,14 @@ class Encoder(nn.Module):
             "attn_out", "mlp_out")
       else:
         policy = getattr(jax.checkpoint_policies, self.remat_policy, None)
+      # prevent_cse: REQUIRED when blocks are unrolled — otherwise XLA CSEs
+      # the backward's recomputation with the forward values, silently
+      # reinstating the full activation set (observed: identical HLO temp
+      # size with and without the policy). Under nn.scan the loop structure
+      # already blocks that CSE, and prevent_cse=False compiles faster.
       return nn.remat(
           Block,
-          prevent_cse=False,
+          prevent_cse=prevent_cse,
           static_argnums=(-1,),  # deterministic
           policy=policy)
 
@@ -303,7 +308,7 @@ class Encoder(nn.Module):
         # activations fit HBM comfortably. Scan still bounds compile size.
         block_cls = Block
       else:
-        block_cls = remat_block()
+        block_cls = remat_block(prevent_cse=False)
       x, _ = nn.scan(
           block_cls,
           variable_axes={"params": 0},
@@ -317,7 +322,7 @@ class Encoder(nn.Module):
       # remat; the legacy full policies keep the historical no-remat
       # behavior (XLA decides, which is fine when activations fit HBM).
       if self.remat_policy in ("save_attn", "save_attn_mlp"):
-        block_cls = remat_block()
+        block_cls = remat_block(prevent_cse=True)
       else:
         block_cls = Block
       for i in range(self.depth):
