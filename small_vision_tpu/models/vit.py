@@ -25,6 +25,7 @@ from jax.ad_checkpoint import checkpoint_name
 
 from small_vision_tpu.ops import layernorm as ln_lib
 from small_vision_tpu.ops.attention import attention_packed
+from small_vision_tpu.ops.fused_block import fused_mha, fused_mlp
 from small_vision_tpu.parallel.ctx import constrain
 
 
@@ -82,18 +83,51 @@ def get_posemb(module, typ, seqshape, width, name, dtype=jnp.float32):
   raise ValueError(f"Unknown posemb type: {typ}")
 
 
-class MlpBlock(nn.Module):
-  """Transformer feed-forward block (Dense → gelu → Dense)."""
-  mlp_dim: Optional[int] = None  # Defaults to 4x input width.
-  dropout: float = 0.0
+class _DenseParams(nn.Module):
+  """Declares nn.Dense-identical params (same names/shapes/inits) and hands
+  them to a fused Pallas kernel instead of computing the matmul here."""
+  d_in: int
+  features: int
   dtype_mm: str = "bfloat16"
 
   @nn.compact
+  def __call__(self):
+    kernel = self.param("kernel", nn.initializers.xavier_uniform(),
+                        (self.d_in, self.features), jnp.float32)
+    bias = self.param("bias", nn.initializers.normal(stddev=1e-6),
+                      (self.features,), jnp.float32)
+    return kernel.astype(self.dtype_mm), bias.astype(self.dtype_mm)
+
+
+class MlpBlock(nn.Module):
+  """Transformer feed-forward block (Dense → gelu → Dense).
+
+  fused="pallas"/"interpret" runs both matmuls + gelu as ONE Pallas kernel
+  (the (B, L, 4D) hidden never touches HBM); param tree stays identical to
+  the unfused path (Dense_0/Dense_1), so checkpoints are interchangeable.
+  """
+  mlp_dim: Optional[int] = None  # Defaults to 4x input width.
+  dropout: float = 0.0
+  dtype_mm: str = "bfloat16"
+  fused: str = "none"  # "none" | "pallas" | "interpret"
+
+  @nn.compact
   def __call__(self, x, deterministic=True):
+    d = x.shape[-1]
+    dh = self.mlp_dim or 4 * d
+    use_fused = self.fused in ("pallas", "interpret") and (
+        self.dropout == 0.0) and (
+        self.fused == "interpret"
+        or jax.default_backend() in ("tpu", "axon"))
+    if use_fused:
+      w1, b1 = _DenseParams(d, dh, self.dtype_mm, name="Dense_0")()
+      w2, b2 = _DenseParams(dh, d, self.dtype_mm, name="Dense_1")()
+      return fused_mlp(x.astype(self.dtype_mm), w1, b1, w2, b2,
+                       self.fused == "interpret")
+
     inits = dict(kernel_init=nn.initializers.xavier_uniform(),
                  bias_init=nn.initializers.normal(stddev=1e-6))
-    d = x.shape[-1]
-    x = nn.Dense(self.mlp_dim or 4 * d, dtype=self.dtype_mm, **inits)(x)
+    x = nn.Dense(dh, dtype=self.dtype_mm, **inits)(x)
     x = nn.gelu(x)
     x = nn.Dropout(rate=self.dropout)(x, deterministic)
     return nn.Dense(d, dtype=self.dtype_mm, **inits)(x)
@@ -116,7 +150,7 @@ class _PackedProj(nn.Module):
   dtype_mm: str = "bfloat16"
 
   @nn.compact
-  def __call__(self, x):
+  def __call__(self, x, return_params=False):
     d_in = x.shape[-1]
     h, hd = self.features
     flat_out = h * hd
@@ -127,6 +161,11 @@ class _PackedProj(nn.Module):
 
     kernel = self.param("kernel", kernel_init, (d_in, h, hd), jnp.float32)
     bias = self.param("bias", nn.initializers.zeros, (h, hd), jnp.float32)
+    if return_params:
+      # Fused-kernel path: hand the 2-D compute-dtype weights to the
+      # caller's Pallas kernel; x is only consulted for its input width.
+      return (kernel.reshape(d_in, flat_out).astype(self.dtype_mm),
+              bias.reshape(flat_out).astype(self.dtype_mm))
     y = jnp.dot(x.astype(self.dtype_mm),
                 kernel.reshape(d_in, flat_out).astype(self.dtype_mm))
     return y + bias.reshape(flat_out).astype(self.dtype_mm)
@@ -140,7 +179,7 @@ class _PackedOutProj(nn.Module):
   dtype_mm: str = "bfloat16"
 
   @nn.compact
-  def __call__(self, o):  # o: (B, L, H*D)
+  def __call__(self, o, return_params=False):  # o: (B, L, H*D)
     h, hd, d = self.num_heads, self.head_dim, self.features
 
     def kernel_init(rng, shape, dtype):
@@ -149,6 +188,9 @@ class _PackedOutProj(nn.Module):
 
     kernel = self.param("kernel", kernel_init, (h, hd, d), jnp.float32)
     bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
+    if return_params:
+      return (kernel.reshape(h * hd, d).astype(self.dtype_mm),
+              bias.astype(self.dtype_mm))
     y = jnp.dot(o.astype(self.dtype_mm),
                 kernel.reshape(h * hd, d).astype(self.dtype_mm))
     return y + bias.astype(self.dtype_mm)
@@ -163,7 +205,9 @@ class MultiHeadAttention(nn.Module):
   """
   num_heads: int
   dtype_mm: str = "bfloat16"
-  attn_impl: str = "xla"  # "xla" | "pallas" | "pallas_interpret"
+  # "xla" | "pallas" | "pallas_interpret" | "pallas_fused"
+  # | "pallas_fused_interpret"
+  attn_impl: str = "xla"
 
   @nn.compact
   def __call__(self, x):
@@ -173,18 +217,33 @@ class MultiHeadAttention(nn.Module):
     proj = lambda name: _PackedProj(
         features=(self.num_heads, head_dim), name=name,
         dtype_mm=self.dtype_mm)
+    out_proj = _PackedOutProj(
+        num_heads=self.num_heads, head_dim=head_dim, features=d,
+        name="out", dtype_mm=self.dtype_mm)
+    interp = self.attn_impl.endswith("interpret")
+
+    if self.attn_impl.startswith("pallas_fused") and (
+        interp or jax.default_backend() in ("tpu", "axon")):
+      # One kernel for projections + attention + out-projection: q/k/v and
+      # per-head scores never leave VMEM (2 HBM passes instead of ~9).
+      # Note: the "save_attn" remat name doesn't exist on this path.
+      wq, bq = proj("query")(x, return_params=True)
+      wk, bk = proj("key")(x, return_params=True)
+      wv, bv = proj("value")(x, return_params=True)
+      wo, bo = out_proj(x, return_params=True)
+      return fused_mha(x.astype(self.dtype_mm), wq, bq, wk, bk, wv, bv,
+                       wo, bo, self.num_heads, interp)
+
     q, k, v = proj("query")(x), proj("key")(x), proj("value")(x)
 
     o = attention_packed(q, k, v, self.num_heads,
                          use_pallas=self.attn_impl.startswith("pallas"),
-                         interpret=self.attn_impl == "pallas_interpret")
+                         interpret=interp)
     # Named for remat: policy "save_attn" keeps this (cheap, (B,L,D)-sized)
     # so backward skips recomputing the attention forward.
     o = checkpoint_name(o, "attn_out")
 
-    return _PackedOutProj(
-        num_heads=self.num_heads, head_dim=head_dim, features=d,
-        name="out", dtype_mm=self.dtype_mm)(o)
+    return out_proj(o)
 
 
 class Block(nn.Module):
@@ -221,7 +280,7 @@ class Block(nn.Module):
     # every downstream tensor and double HBM traffic). The LN and the AdaLN
     # modulate run as ONE fused Pallas kernel on TPU (see _FusedLN).
     fused_pallas = self.attn_impl.startswith("pallas")
-    interp = self.attn_impl == "pallas_interpret"
+    interp = self.attn_impl.endswith("interpret")
     fln = lambda name: _FusedLN(use_pallas=fused_pallas, interpret=interp,
                                 name=name)
     y = fln("LayerNorm_0")(
@@ -238,8 +297,10 @@ class Block(nn.Module):
     y = fln("LayerNorm_1")(
         x, shift_m if use_adaln else None,
         scale_m if use_adaln else None).astype(self.dtype_mm)
+    mlp_fused = ("none" if not self.attn_impl.startswith("pallas_fused")
+                 else ("interpret" if interp else "pallas"))
     y = MlpBlock(mlp_dim=self.mlp_dim, dropout=self.dropout,
-                 dtype_mm=self.dtype_mm)(y, deterministic)
+                 dtype_mm=self.dtype_mm, fused=mlp_fused)(y, deterministic)
     # Named for remat: "save_attn_mlp" keeps this (B, L, D) tensor so the
     # backward recompute stops at the down-projection instead of re-running
     # the (B, L, 4D) up-projection + gelu.
