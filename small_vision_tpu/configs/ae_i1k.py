@@ -30,7 +30,7 @@ def get_config(arg=None):
       mask_ratio_no_noise=0.75, finetune=False, lr=15e-5, wd=5e-2,
       beta2=0.95, size=64, adaln=True, epochs=800, area_min=80,
       use_preprocessed_latents=False, latent_diffusion=False, save_ckpt=True,
-      data="imagenet2012", attn_impl="pallas", runlocal=False)
+      data="imagenet2012", attn_impl="pallas", runlocal=False, heads=0)
 
   config = mlc.ConfigDict()
   config.finetune = arg.finetune
@@ -104,6 +104,13 @@ def get_config(arg=None):
       remat_policy="nothing_saveable",
       attn_impl=arg.attn_impl,
       dtype_mm="bfloat16")
+  if arg.heads:
+    # TPU speed knob: heads=6 at width 768 → head_dim 128 feeds the full
+    # 128-lane MXU contraction in the attention dots (measured +13%
+    # imgs/s at UMD-B/4 bs256 on v5e). Param count/shapes are unchanged
+    # (packed (d, H, hd) kernels flatten identically); the attention
+    # PATTERN deviates from the reference's 12-head UMD-B, so it's opt-in.
+    config.model["num_heads"] = arg.heads
 
   config.optax_name = "adamw"
   config.clip_norm = 1.0

@@ -145,11 +145,13 @@ class _ViTAE(nn.Module):
     return rep, x[:, self.num_cls:], ids_restore, out
 
   def decode(self, rep, x, cond, ids_restore=None, train=False):
-    n = x.shape[0]
     x = x.astype(self.dtype_mm)  # Encoder's final LN emits fp32.
     if ids_restore is not None:
       x = restore_masked(x, self.mask_token, ids_restore)
+    return self._decode_restored(rep, x, cond, train=train)
 
+  def _decode_restored(self, rep, x, cond, train=False):
+    """Decoder + final modulation + head on an already-unmasked sequence."""
     x = x + self.dec_posemb.astype(x.dtype)
     x = jnp.concatenate([rep[:, None, :].astype(x.dtype), x], axis=1)
     x = self.decoder(x, cond=cond, deterministic=not train)
@@ -192,6 +194,51 @@ class _ViTAE(nn.Module):
       pred = unconditional + cfg_scale * (conditional - unconditional)
 
     return pred, out
+
+  def dual_forward(self, img_a, img_b, *, t_a=None, t_b=None, y_a=None,
+                   y_b=None, mask_a=0.0, mask_b=0.0, train=False):
+    """Two-branch training forward sharing one embed/decoder/head pass.
+
+    The UMD loss runs a clean-MAE branch and a noised-diffusion branch per
+    step (reference trainers/train_ae.py:304-361). As two separate applies,
+    the patchify conv, the 4-block decoder (both branches decode the FULL
+    L=257 sequence), the final modulation, and the head each run twice at
+    half batch. Here the branches are concatenated everywhere their shapes
+    agree — only the encoders (different static keep-lengths from the two
+    mask ratios) stay per-branch — so the shared stages run once at full
+    batch. Math is identical per branch; conditioning is per-sample.
+
+    Returns (pred, out_a, out_b) with pred ordered [a ‖ b] on axis 0.
+    """
+    n_a = img_a.shape[0]
+    image = jnp.concatenate([jnp.asarray(img_a, self.dtype_mm),
+                             jnp.asarray(img_b, self.dtype_mm)], axis=0)
+    n = image.shape[0]
+    zeros = lambda m: jnp.zeros((m,), jnp.int32)
+    t = jnp.concatenate([t_a if t_a is not None else zeros(n_a),
+                         t_b if t_b is not None else zeros(n - n_a)], axis=0)
+    if self.num_classes is not None:
+      null = lambda m: jnp.full((m,), self.num_classes, jnp.int32)
+      y = jnp.concatenate([y_a if y_a is not None else null(n_a),
+                           y_b if y_b is not None else null(n - n_a)], axis=0)
+    else:
+      assert y_a is None and y_b is None
+      y = None
+
+    x, cond = self.embed(image, t=t, y=y, train=train)
+    rep_a, enc_a, ids_a, out_a = self.encode(
+        x[:n_a], cond[:n_a], mask=mask_a, train=train)
+    rep_b, enc_b, ids_b, out_b = self.encode(
+        x[n_a:], cond[n_a:], mask=mask_b, train=train)
+
+    unmask = lambda e, ids: (
+        restore_masked(e.astype(self.dtype_mm), self.mask_token, ids)
+        if ids is not None else e.astype(self.dtype_mm))
+    full = jnp.concatenate([unmask(enc_a, ids_a), unmask(enc_b, ids_b)],
+                           axis=0)
+    rep = jnp.concatenate([rep_a, rep_b], axis=0)
+    pred = self._decode_restored(rep, full, cond, train=train)
+    return pred, out_a, out_b
 
 
 def decode_variant(variant):

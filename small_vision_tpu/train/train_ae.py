@@ -105,41 +105,67 @@ def make_update_fn(model, tx, config, device_pp, mesh,
     noise = jax.random.normal(noise_rng, x0_noise.shape, jnp.float32)
     x_t = gd_lib.q_sample(gd, x0_noise, batched_t, noise)
 
-    def loss_fn(params):
-      if n_no_noise > 0:
-        # MAE branch: clean input, t=0, heavy masking; loss on masked x0.
-        pred, out = model.apply(
-            {"params": params}, x0_clean,
-            t=jnp.zeros((n_no_noise,), jnp.int32),
-            train=True, mask=mask_ratio_no_noise,
-            rngs={"dropout": rng_mae, "cfg": cfg_mae, "mae_noise": mae_mae})
-        pred_x0 = pred[..., :channels]
-        se = (pred_x0 - x0_clean) ** 2
-        mae_loss = jnp.mean(se * out["mask"]) / jnp.mean(out["mask"])
-      else:
-        mae_loss = 0.0
+    def mae_branch_loss(pred, out):
+      pred_x0 = pred[..., :channels]
+      se = (pred_x0 - x0_clean) ** 2
+      return jnp.mean(se * out["mask"]) / jnp.mean(out["mask"])
 
-      if n_noise > 0:
-        # Diffusion branch: noised input at t+1 (t=0 is reserved for clean),
-        # optional masking; eps loss on visible, x0 loss on masked tokens.
-        pred, out = model.apply(
-            {"params": params}, x_t,
-            t=batched_t + 1, y=labels_t,
-            train=True, mask=mask_ratio,
+    def dit_branch_loss(pred, out):
+      # eps loss on visible, x0 loss on masked tokens.
+      pred_x0 = pred[..., :channels]
+      pred_eps = pred[..., channels:]
+      x0_se = (pred_x0 - x0_noise) ** 2
+      eps_se = (pred_eps - noise) ** 2
+      if out["mask"] is not None:
+        eps_loss = (jnp.mean(eps_se * (1 - out["mask"]))
+                    / jnp.mean(1 - out["mask"]))
+        x0_loss = jnp.mean(x0_se * out["mask"]) / jnp.mean(out["mask"])
+        return (eps_loss + x0_loss) / 2
+      return (jnp.mean(eps_se) + jnp.mean(x0_se)) / 2
+
+    # fused_branches: run both loss branches through one apply that batches
+    # the shared patchify/decoder/head stages (models/ae.py dual_forward).
+    # Measured NEUTRAL at UMD-B/4 bs256 on one v5e (924 vs 934 imgs/s — the
+    # B-doubled decoder raises HBM pressure under auto-remat), so default
+    # off; the op-count halving matters on dispatch-bound small configs.
+    fused_branches = bool(config.get("fused_branches", False))
+
+    def loss_fn(params):
+      if fused_branches and n_no_noise > 0 and n_noise > 0:
+        # Both branches: one apply sharing the patchify/decoder/head stages
+        # at full batch (models/ae.py dual_forward) — the encoders stay
+        # per-branch (different static keep-lengths). Same per-branch math
+        # as the two-apply form below.
+        pred, out_mae, out_dit = model.apply(
+            {"params": params}, x0_clean, x_t,
+            t_b=batched_t + 1, y_b=labels_t,
+            mask_a=mask_ratio_no_noise, mask_b=mask_ratio,
+            train=True, method="dual_forward",
             rngs={"dropout": rng_dit, "cfg": cfg_dit, "mae_noise": mae_dit})
-        pred_x0 = pred[..., :channels]
-        pred_eps = pred[..., channels:]
-        x0_se = (pred_x0 - x0_noise) ** 2
-        eps_se = (pred_eps - noise) ** 2
-        if out["mask"] is not None:
-          eps_loss = (jnp.mean(eps_se * (1 - out["mask"]))
-                      / jnp.mean(1 - out["mask"]))
-          x0_loss = jnp.mean(x0_se * out["mask"]) / jnp.mean(out["mask"])
-          dit_loss = (eps_loss + x0_loss) / 2
-        else:
-          dit_loss = (jnp.mean(eps_se) + jnp.mean(x0_se)) / 2
+        mae_loss = mae_branch_loss(pred[:n_no_noise], out_mae)
+        dit_loss = dit_branch_loss(pred[n_no_noise:], out_dit)
       else:
-        dit_loss = 0.0
+        if n_no_noise > 0:
+          # MAE branch: clean input, t=0, heavy masking; loss on masked x0.
+          pred, out = model.apply(
+              {"params": params}, x0_clean,
+              t=jnp.zeros((n_no_noise,), jnp.int32),
+              train=True, mask=mask_ratio_no_noise,
+              rngs={"dropout": rng_mae, "cfg": cfg_mae, "mae_noise": mae_mae})
+          mae_loss = mae_branch_loss(pred, out)
+        else:
+          mae_loss = 0.0
+
+        if n_noise > 0:
+          # Diffusion branch: noised input at t+1 (t=0 reserved for clean).
+          pred, out = model.apply(
+              {"params": params}, x_t,
+              t=batched_t + 1, y=labels_t,
+              train=True, mask=mask_ratio,
+              rngs={"dropout": rng_dit, "cfg": cfg_dit, "mae_noise": mae_dit})
+          dit_loss = dit_branch_loss(pred, out)
+        else:
+          dit_loss = 0.0
 
       # Mix by the REALIZED batch fractions, not the nominal probability:
       # n_no_noise = int(b*p) truncates, so n_no_noise/b != p whenever b*p is

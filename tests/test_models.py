@@ -43,6 +43,59 @@ def test_ae_no_mask_path():
   assert pred.shape == (2, 16, 16, 6)
 
 
+def test_ae_dual_forward_matches_separate_applies():
+  """dual_forward (batched embed/decoder/head) == two __call__s, exactly,
+  when no masking is involved (masking draws rngs in a different order)."""
+  model = ae_mod._ViTAE(adaln=True, scan=False, num_classes=5, **TINY)
+  rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+          "mae_noise": jax.random.PRNGKey(2), "cfg": jax.random.PRNGKey(3)}
+  img_a = jax.random.normal(jax.random.PRNGKey(10), (2, 16, 16, 3))
+  img_b = jax.random.normal(jax.random.PRNGKey(11), (3, 16, 16, 3))
+  t_b = jnp.asarray([3, 7, 1], jnp.int32)
+  y_b = jnp.asarray([0, 4, 2], jnp.int32)
+  params = model.init(rngs, img_a, t=jnp.zeros((2,), jnp.int32),
+                      train=True, mask=0.5)["params"]
+
+  apply_rngs = {k: v for k, v in rngs.items() if k != "params"}
+  pred, out_a, out_b = model.apply(
+      {"params": params}, img_a, img_b, t_b=t_b, y_b=y_b,
+      train=False, method="dual_forward", rngs=apply_rngs)
+  pred_a, _ = model.apply({"params": params}, img_a,
+                          t=jnp.zeros((2,), jnp.int32),
+                          train=False, rngs=apply_rngs)
+  pred_b, _ = model.apply({"params": params}, img_b, t=t_b, y=y_b,
+                          train=False, rngs=apply_rngs)
+  assert out_a["mask"] is None and out_b["mask"] is None
+  np.testing.assert_allclose(np.asarray(pred[:2]), np.asarray(pred_a),
+                             rtol=1e-5, atol=1e-5)
+  np.testing.assert_allclose(np.asarray(pred[2:]), np.asarray(pred_b),
+                             rtol=1e-5, atol=1e-5)
+
+
+def test_ae_dual_forward_masked_shapes_and_grads():
+  model = ae_mod._ViTAE(adaln=True, scan=False, **TINY)
+  rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+          "mae_noise": jax.random.PRNGKey(2), "cfg": jax.random.PRNGKey(3)}
+  img = jax.random.normal(jax.random.PRNGKey(10), (4, 16, 16, 3))
+  params = model.init(rngs, img, t=jnp.zeros((4,), jnp.int32),
+                      train=True, mask=0.5)["params"]
+  apply_rngs = {k: v for k, v in rngs.items() if k != "params"}
+
+  def loss(p):
+    pred, out_a, out_b = model.apply(
+        {"params": p}, img[:2], img[2:],
+        t_b=jnp.asarray([3, 7], jnp.int32),
+        mask_a=0.75, mask_b=0.5, train=True,
+        method="dual_forward", rngs=apply_rngs)
+    assert out_a["mask"].shape == (2, 16, 16, 1)
+    assert out_b["mask"].shape == (2, 16, 16, 1)
+    return jnp.sum(pred.astype(jnp.float32) ** 2)
+
+  g = jax.grad(loss)(params)
+  assert all(np.isfinite(np.asarray(x, np.float32)).all()
+             for x in jax.tree_util.tree_leaves(g))
+
+
 @pytest.mark.slow
 def test_ae_scan_and_loop_same_param_count():
   def n_params(m):

@@ -47,6 +47,21 @@ def smoke_config(tmpdir=None, **overrides):
   return c
 
 
+def test_train_fused_branches_smoke(tmp_path):
+  """dual_forward trainer path (fused_branches=True) trains with finite
+  losses in the same range as the two-apply path (at this tiny scale the
+  loss hovers ~0.5 either way; a decrease assertion would be flaky)."""
+  import json
+  config = smoke_config()
+  config.fused_branches = True
+  state, _ = train_ae.train_and_evaluate(config, str(tmp_path))
+  rows = [json.loads(line)
+          for line in open(tmp_path / "sv_tpu_metrics.txt")]
+  losses = [r["training_loss"] for r in rows if "training_loss" in r]
+  assert losses and all(np.isfinite(losses))
+  assert all(0.05 < x < 5.0 for x in losses)
+
+
 def test_train_smoke_loss_finite(tmp_path):
   config = smoke_config()
   state, eval_fns = train_ae.train_and_evaluate(config, str(tmp_path))
