@@ -15,3 +15,6 @@ from small_vision_tpu.parallel.collectives import (  # noqa: F401
     broadcast_one_to_all,
     process_allgather,
 )
+from small_vision_tpu.parallel.explicit_step import (  # noqa: F401
+    make_explicit_update_fn,
+)
