@@ -23,11 +23,13 @@
 #include <jpeglib.h>
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <csetjmp>
 #include <cstdint>
 #include <cstring>
 #include <random>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -193,6 +195,46 @@ int sv_decode_inception_crop(const unsigned char* data, size_t len,
                 static_cast<size_t>(cw) * 3);
   }
   resize_bilinear(crop.data(), ch, cw, out, out_h, out_w);
+  return 0;
+}
+
+// Batch variant with an in-library thread pool: ONE GIL release (ctypes)
+// covers the whole batch, and the fan-out happens in C++ (std::thread over
+// an atomic work index), so scaling isn't capped by Python call overhead —
+// the reference gets the same effect from tf.data's internal threadpools
+// (reference input_pipeline.py:179-183 private_threadpool_size=48).
+// datas/lens/seeds are n-element arrays; out holds n*out_h*out_w*3 bytes;
+// rcs[i] receives the per-image status (0 = ok). n_threads<=0 → hardware
+// concurrency. Always returns 0.
+int sv_decode_inception_crop_batch(const unsigned char* const* datas,
+                                   const size_t* lens, int n, int out_h,
+                                   int out_w, double area_min,
+                                   double area_max, double ar_lo,
+                                   double ar_hi, int max_attempts,
+                                   const uint64_t* seeds, unsigned char* out,
+                                   int* rcs, int n_threads) {
+  const size_t stride = static_cast<size_t>(out_h) * out_w * 3;
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    int i;
+    while ((i = next.fetch_add(1)) < n) {
+      rcs[i] = sv_decode_inception_crop(datas[i], lens[i], out_h, out_w,
+                                        area_min, area_max, ar_lo, ar_hi,
+                                        max_attempts, seeds[i],
+                                        out + stride * i);
+    }
+  };
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  int nt = n_threads > 0 ? n_threads : (hw > 0 ? hw : 8);
+  nt = std::max(1, std::min(nt, n));
+  if (nt == 1) {
+    worker();
+    return 0;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(nt);
+  for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
   return 0;
 }
 

@@ -27,7 +27,8 @@ _SO_PATH = os.path.join(_SRC_DIR, "sv_dataloader.so")
 
 def _build():
   src = os.path.join(_SRC_DIR, "sv_dataloader.cpp")
-  cmd = ["g++", "-O3", "-shared", "-fPIC", src, "-o", _SO_PATH, "-ljpeg"]
+  cmd = ["g++", "-O3", "-shared", "-fPIC", "-pthread", src, "-o", _SO_PATH,
+         "-ljpeg"]
   subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -55,6 +56,13 @@ def _load():
       lib.sv_decode.restype = ctypes.c_int
       lib.sv_decode.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                 ctypes.c_void_p]
+      lib.sv_decode_inception_crop_batch.restype = ctypes.c_int
+      lib.sv_decode_inception_crop_batch.argtypes = [
+          ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
+          ctypes.c_int, ctypes.c_int, ctypes.c_int,
+          ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+          ctypes.c_int, ctypes.POINTER(ctypes.c_uint64), ctypes.c_void_p,
+          ctypes.POINTER(ctypes.c_int), ctypes.c_int]
       _LIB = lib
     except Exception:  # noqa: BLE001 — any failure → PIL fallback.
       _LIB = None
@@ -81,6 +89,36 @@ def decode_inception_crop(jpeg_bytes: bytes, out_h: int, out_w: int,
   if rc != 0:
     raise ValueError(f"native jpeg decode failed (rc={rc})")
   return out
+
+
+def decode_inception_crop_batch(jpegs, out_h: int, out_w: int,
+                                area_min: float, area_max: float, seeds,
+                                ar_lo: float = 0.75, ar_hi: float = 1.33,
+                                max_attempts: int = 100, n_threads: int = 0):
+  """Batched fused decode+crop+resize with an in-library thread pool.
+
+  One ctypes call (one GIL release) for the whole batch; the C++ side fans
+  out over std::threads. Returns (out (N, h, w, 3) uint8, rcs (N,) int32 —
+  0 = ok; callers fall back per-image for nonzero entries). Each image i is
+  bitwise-identical to decode_inception_crop(jpegs[i], ..., seeds[i]).
+  """
+  lib = _load()
+  assert lib is not None, "native loader unavailable"
+  n = len(jpegs)
+  out = np.empty((n, out_h, out_w, 3), np.uint8)
+  rcs = np.zeros(n, np.int32)
+  if n == 0:
+    return out, rcs
+  # Keep the bytes objects alive; c_char_p array points into them.
+  datas = (ctypes.c_char_p * n)(*jpegs)
+  lens = (ctypes.c_size_t * n)(*[len(b) for b in jpegs])
+  seeds_arr = (ctypes.c_uint64 * n)(*[int(s) & (2**64 - 1) for s in seeds])
+  lib.sv_decode_inception_crop_batch(
+      datas, lens, n, out_h, out_w, float(area_min), float(area_max),
+      ar_lo, ar_hi, max_attempts, seeds_arr,
+      out.ctypes.data_as(ctypes.c_void_p),
+      rcs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n_threads)
+  return out, rcs
 
 
 def decode(jpeg_bytes: bytes) -> np.ndarray:

@@ -91,8 +91,18 @@ class _HostPipeline:
     stop.set()
 
   def _flush(self, buf, out_q, stop, final=False):
-    # Map host pp in parallel over the chunk, then emit whole batches.
-    if self.num_workers > 1 and len(buf) > 1:
+    # Map host pp over the chunk, then emit whole batches. Preferred path:
+    # the builder's whole-chunk `host_fn.batch` (one native call, C++
+    # thread pool — one GIL release per chunk); fallback: a Python thread
+    # pool over per-example host_pp (the GIL is released inside the
+    # decode/crop C calls, but each image costs a Python dispatch).
+    batch_fn = getattr(self.host_pp, "batch", None)
+    done = None
+    if batch_fn is not None:
+      done = batch_fn([dict(e) for e in buf])
+    if done is not None:
+      buf = done
+    elif self.num_workers > 1 and len(buf) > 1:
       import concurrent.futures
       with concurrent.futures.ThreadPoolExecutor(self.num_workers) as ex:
         buf = list(ex.map(self.host_pp, buf))

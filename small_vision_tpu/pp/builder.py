@@ -74,6 +74,23 @@ def get_preprocess_fn(pp_spec: str, log_name: Optional[str] = None
         raise RuntimeError(f"pp host op {spec!r} failed: {e}") from e
     return data
 
+  if host_ops and hasattr(host_ops[0][1], "batch"):
+    # Whole-chunk fast path: the leading host op (the fused JPEG
+    # decode+crop) processes the batch in ONE native call with its own C++
+    # thread pool; any remaining host ops map per-example after. Returns
+    # None when the native library is unavailable → caller threads host_fn.
+    def host_batch_fn(datas):
+      datas = host_ops[0][1].batch(datas)
+      if datas is None:
+        return None
+      for spec, fn in host_ops[1:]:
+        try:
+          datas = [fn(d) for d in datas]
+        except Exception as e:
+          raise RuntimeError(f"pp host op {spec!r} failed: {e}") from e
+      return datas
+    host_fn.batch = host_batch_fn
+
   device_fn = None
   if device_ops:
     def device_fn(batch, rng):

@@ -235,6 +235,37 @@ def get_decode_jpeg_and_inception_crop(size=None, area_min: int = 5,
       if size is not None:
         img = _resize_np(img, size, method)
       return img
+
+  def _batch(images, datas):
+    """Whole-chunk fast path: ONE native call decodes the batch with the
+    library's own C++ thread pool (one GIL release per chunk instead of one
+    Python call per image). Per-image output is bitwise-identical to `_op`
+    (same per-example seed draw order). Returns None → caller maps `_op`."""
+    if size is None:
+      return None
+    from small_vision_tpu.data import native_jpeg
+    if not native_jpeg.available():
+      return None
+    outs = [None] * len(images)
+    raws, seeds, idxs = [], [], []
+    for i, (image, d) in enumerate(zip(images, datas)):
+      if isinstance(image, np.ndarray) and image.dtype == np.uint8:
+        outs[i] = _op(image, d)  # already decoded: crop+resize only
+      else:
+        raws.append(bytes(image) if not isinstance(image, bytes) else image)
+        seeds.append(int(_rng_of(d).integers(0, 2**63)))
+        idxs.append(i)
+    if raws:
+      arr, rcs = native_jpeg.decode_inception_crop_batch(
+          raws, size[0], size[1], area_min / 100, area_max / 100, seeds)
+      for j, i in enumerate(idxs):
+        if rcs[j] == 0:
+          outs[i] = arr[j]
+        else:  # corrupt/exotic file: per-image PIL fallback
+          outs[i] = _op(raws[j], datas[i])
+    return outs
+
+  _op.batch = _batch
   return _op
 
 

@@ -30,6 +30,20 @@ def InKeyOutKey(indefault: str = "image", outdefault: str = "image"):  # noqa: N
         data[ok] = inner(data[ik], data)
         return data
       dict_fn.__name__ = getattr(get_fn, "__name__", "pp_op")
+
+      # Ops may expose a whole-batch fast path (inner.batch: (tensors,
+      # datas) -> tensors | None); surface it with the same key handling so
+      # the pipeline can hand a full chunk to native code in one call.
+      inner_batch = getattr(inner, "batch", None)
+      if inner_batch is not None:
+        def dict_batch(datas):
+          outs = inner_batch([d[ik] for d in datas], datas)
+          if outs is None:
+            return None
+          for d, o in zip(datas, outs):
+            d[ok] = o
+          return datas
+        dict_fn.batch = dict_batch
       return dict_fn
     return get_wrapped
   return decorator

@@ -82,3 +82,57 @@ def test_native_faster_than_pil():
   t_pil = time.perf_counter() - t0
   # The reduced-scale decode should win clearly on large sources.
   assert t_native < t_pil, (t_native, t_pil)
+
+def test_batch_decode_bitwise_matches_per_image():
+  raws = [_jpeg(h, w)[0] for h, w in [(300, 200), (123, 456), (64, 64)]]
+  seeds = [11, 22, 33]
+  out, rcs = native_jpeg.decode_inception_crop_batch(
+      raws, 64, 64, 0.3, 1.0, seeds)
+  assert out.shape == (3, 64, 64, 3) and (rcs == 0).all()
+  for i, (raw, seed) in enumerate(zip(raws, seeds)):
+    single = native_jpeg.decode_inception_crop(raw, 64, 64, 0.3, 1.0,
+                                               seed=seed)
+    np.testing.assert_array_equal(out[i], single)
+
+
+def test_batch_decode_reports_bad_images():
+  good, _ = _jpeg()
+  out, rcs = native_jpeg.decode_inception_crop_batch(
+      [good, b"not a jpeg at all", good], 32, 32, 0.5, 1.0, [1, 2, 3])
+  assert rcs[0] == 0 and rcs[2] == 0
+  assert rcs[1] != 0
+
+
+def test_pipeline_host_batch_path_matches_threaded():
+  """_HostPipeline via host_fn.batch == per-example threaded map (same
+  deterministic per-example rng seeding)."""
+  from small_vision_tpu.data.pipeline import _HostPipeline
+  from small_vision_tpu.pp.builder import get_preprocess_fn
+  import small_vision_tpu.pp.ops_image  # noqa: F401
+  import small_vision_tpu.pp.ops_general  # noqa: F401
+
+  raws = [_jpeg(200 + 10 * i, 150 + 5 * i)[0] for i in range(8)]
+
+  def factory():
+    return iter([{"image": r, "label": i, "_id": i}
+                 for i, r in enumerate(raws)])
+
+  host_fn, _ = get_preprocess_fn(
+      'decode_jpeg_and_inception_crop(32, area_min=30)|keep("image","label")')
+  assert hasattr(host_fn, "batch"), "batch fast path not exposed"
+
+  def run(use_batch):
+    fn = host_fn
+    if not use_batch:
+      def fn(d, _h=host_fn):  # strip .batch: force the threaded path
+        return _h(d)
+    pipe = _HostPipeline(factory, fn, local_batch_size=4, num_workers=2,
+                         seed=123)
+    return list(pipe)
+
+  got = run(True)
+  want = run(False)
+  assert len(got) == len(want) == 2
+  for g, w in zip(got, want):
+    np.testing.assert_array_equal(g["image"], w["image"])
+    np.testing.assert_array_equal(g["label"], w["label"])
