@@ -148,3 +148,74 @@ def get_randaug(num_layers: int = 2, magnitude: int = 10):
     return distort_image_with_randaugment(
         np.asarray(image), num_layers, magnitude, rng)
   return _randaug
+
+
+# ---------------------------------------------------------------------------
+# AutoAugment learned policies (reference autoaugment.py:46-94, :634-659).
+# The reference defines distort_image_with_autoaugment but registers no pp
+# op for it (only randaug is consumed); we port the policy tables AND expose
+# an `autoaugment(policy)` op so the capability is reachable from pp strings.
+# ---------------------------------------------------------------------------
+
+# (operation, probability, magnitude) pairs; each sub-policy applies its ops
+# in sequence; one sub-policy is drawn uniformly per image. Table values are
+# the published AutoAugment ImageNet policy (reference autoaugment.py:46).
+POLICY_V0 = [
+    [("Equalize", 0.8, 1), ("ShearY", 0.8, 4)],
+    [("Color", 0.4, 9), ("Equalize", 0.6, 3)],
+    [("Color", 0.4, 1), ("Rotate", 0.6, 8)],
+    [("Solarize", 0.8, 3), ("Equalize", 0.4, 7)],
+    [("Solarize", 0.4, 2), ("Solarize", 0.6, 2)],
+    [("Color", 0.2, 0), ("Equalize", 0.8, 8)],
+    [("Equalize", 0.4, 8), ("SolarizeAdd", 0.8, 3)],
+    [("ShearX", 0.2, 9), ("Rotate", 0.6, 8)],
+    [("Color", 0.6, 1), ("Equalize", 1.0, 2)],
+    [("Invert", 0.4, 9), ("Rotate", 0.6, 0)],
+    [("Equalize", 1.0, 9), ("ShearY", 0.6, 3)],
+    [("Color", 0.4, 7), ("Equalize", 0.6, 0)],
+    [("Posterize", 0.4, 6), ("AutoContrast", 0.4, 7)],
+    [("Solarize", 0.6, 8), ("Color", 0.6, 9)],
+    [("Solarize", 0.2, 4), ("Rotate", 0.8, 9)],
+    [("Rotate", 1.0, 7), ("TranslateY", 0.8, 9)],
+    [("ShearX", 0.0, 0), ("Solarize", 0.8, 4)],
+    [("ShearY", 0.8, 0), ("Color", 0.6, 4)],
+    [("Color", 1.0, 0), ("Rotate", 0.6, 2)],
+    [("Equalize", 0.8, 4), ("Equalize", 0.0, 8)],
+    [("Equalize", 1.0, 4), ("AutoContrast", 0.6, 2)],
+    [("ShearY", 0.4, 7), ("SolarizeAdd", 0.6, 7)],
+    [("Posterize", 0.8, 2), ("Solarize", 0.6, 10)],
+    [("Solarize", 0.6, 8), ("Equalize", 0.6, 1)],
+    [("Color", 0.8, 6), ("Rotate", 0.4, 5)],
+]
+
+POLICY_VTEST = [
+    [("TranslateX", 1.0, 4), ("Equalize", 1.0, 10)],
+]
+
+AVAILABLE_POLICIES = {"v0": POLICY_V0, "test": POLICY_VTEST}
+
+
+def distort_image_with_autoaugment(image: np.ndarray, policy_name: str,
+                                   rng: np.random.Generator) -> np.ndarray:
+  """One uniformly-drawn sub-policy; each op fires with its probability
+  (reference autoaugment.py:634 build_and_apply_nas_policy semantics)."""
+  if policy_name not in AVAILABLE_POLICIES:
+    raise ValueError(f"Invalid augmentation_name: {policy_name}")
+  policy = AVAILABLE_POLICIES[policy_name]
+  sub = policy[int(rng.integers(0, len(policy)))]
+  im = Image.fromarray(np.asarray(image, np.uint8))
+  for name, prob, magnitude in sub:
+    if rng.random() < prob:
+      im = NAME_TO_FUNC[name](im, float(magnitude), rng)
+  return np.asarray(im.convert("RGB"))
+
+
+@Registry.register("autoaugment")
+@InKeyOutKey()
+def get_autoaugment(policy: str = "v0"):
+  """`autoaugment("v0")` pp op applying the learned ImageNet policy."""
+
+  def _autoaugment(image, data):
+    rng = data.get("_rng") or np.random.default_rng()
+    return distort_image_with_autoaugment(np.asarray(image), policy, rng)
+  return _autoaugment

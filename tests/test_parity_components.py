@@ -109,3 +109,32 @@ def test_lp_and_eval_configs():
   assert ev.diff_schedule["sampling_timesteps"] == 50
   ev_t = eval_ae_i1k.get_config("data=synthetic,transfer=True")
   assert "transfer" in ev_t.evals
+
+
+def test_autoaugment_policies_run_and_are_seeded():
+  from small_vision_tpu.pp.autoaugment import (
+      AVAILABLE_POLICIES, POLICY_V0, distort_image_with_autoaugment)
+  import numpy as np
+
+  assert len(POLICY_V0) == 25  # reference autoaugment.py:46-77
+  assert set(AVAILABLE_POLICIES) == {"v0", "test"}
+  img = np.random.default_rng(0).integers(0, 256, (48, 48, 3), dtype=np.uint8)
+  a = distort_image_with_autoaugment(img, "v0", np.random.default_rng(7))
+  b = distort_image_with_autoaugment(img, "v0", np.random.default_rng(7))
+  assert a.shape == img.shape and a.dtype == np.uint8
+  np.testing.assert_array_equal(a, b)  # seeded → deterministic
+  import pytest
+  with pytest.raises(ValueError):
+    distort_image_with_autoaugment(img, "nope", np.random.default_rng(0))
+
+
+def test_autoaugment_pp_op_registered():
+  import numpy as np
+  from small_vision_tpu.pp import builder
+  import small_vision_tpu.pp.autoaugment  # noqa: F401
+
+  host, _ = builder.get_preprocess_fn('autoaugment("test")')
+  ex = {"image": np.zeros((32, 32, 3), np.uint8),
+        "_rng": np.random.default_rng(1)}
+  out = host(ex)
+  assert out["image"].shape == (32, 32, 3)
