@@ -11,6 +11,8 @@ import numpy as np
 import optax
 import pytest
 
+pytestmark = pytest.mark.slow  # FSDP-class integration tests
+
 from small_vision_tpu import parallel
 from small_vision_tpu.models import ae as ae_mod
 from small_vision_tpu.ops import diffusion as gd_lib

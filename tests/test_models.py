@@ -73,22 +73,23 @@ def test_ae_dual_forward_matches_separate_applies():
 
 
 def test_ae_dual_forward_masked_shapes_and_grads():
-  model = ae_mod._ViTAE(adaln=True, scan=False, **TINY)
+  # depth=1 keeps the grad jaxpr small (this was the slowest fast test).
+  model = ae_mod._ViTAE(adaln=True, scan=False, **{**TINY, "depth": 1})
   rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
           "mae_noise": jax.random.PRNGKey(2), "cfg": jax.random.PRNGKey(3)}
-  img = jax.random.normal(jax.random.PRNGKey(10), (4, 16, 16, 3))
-  params = model.init(rngs, img, t=jnp.zeros((4,), jnp.int32),
+  img = jax.random.normal(jax.random.PRNGKey(10), (2, 16, 16, 3))
+  params = model.init(rngs, img, t=jnp.zeros((2,), jnp.int32),
                       train=True, mask=0.5)["params"]
   apply_rngs = {k: v for k, v in rngs.items() if k != "params"}
 
   def loss(p):
     pred, out_a, out_b = model.apply(
-        {"params": p}, img[:2], img[2:],
-        t_b=jnp.asarray([3, 7], jnp.int32),
+        {"params": p}, img[:1], img[1:],
+        t_b=jnp.asarray([3], jnp.int32),
         mask_a=0.75, mask_b=0.5, train=True,
         method="dual_forward", rngs=apply_rngs)
-    assert out_a["mask"].shape == (2, 16, 16, 1)
-    assert out_b["mask"].shape == (2, 16, 16, 1)
+    assert out_a["mask"].shape == (1, 16, 16, 1)
+    assert out_b["mask"].shape == (1, 16, 16, 1)
     return jnp.sum(pred.astype(jnp.float32) ** 2)
 
   g = jax.grad(loss)(params)
