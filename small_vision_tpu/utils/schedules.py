@@ -88,8 +88,10 @@ def create_learning_rate_schedule(
     if scale_with_batchsize:
       lr = lr * batch_size / 256.0
 
-    progress = (step - warmup_steps) / float(
-        total_steps - warmup_steps - cooldown_steps)
+    # Reference semantics (utils.py:1120): the decay curve spans
+    # (total - warmup) steps and the cooldown is a MULTIPLICATIVE linear
+    # ramp on top (below) — cooldown does NOT shrink the decay window.
+    progress = (step - warmup_steps) / float(total_steps - warmup_steps)
     progress = jnp.clip(progress, 0.0, 1.0)
 
     if decay_type in ("linear", "polynomial"):

@@ -34,6 +34,11 @@ for _m in ("tensorflow_addons", "tensorflow_addons.image"):
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+# The reference predates jax 0.8 (uses the removed jax.tree_map alias);
+# restore it so reference modules run unmodified.
+if not hasattr(jax, "tree_map"):
+  jax.tree_map = jax.tree.map
+
 from small_vision_tpu.ops import diffusion as my_gd  # noqa: E402
 # Registration side effects for this framework's pp ops.
 import small_vision_tpu.pp.ops_general  # noqa: E402,F401
@@ -393,3 +398,126 @@ def test_converter_roundtrip_exact(converted_pair):
   for p, v in flat_a:
     name = "/".join(str(getattr(k, "key", k)) for k in p)
     np.testing.assert_array_equal(np.asarray(v), b[name], err_msg=name)
+
+
+# ---------------------------------------------------------------------------
+# (e) fewshot linear-probe solver vs the reference eigh solver
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n,d", [(120, 32), (24, 64)])  # N>=D and D>N paths
+def test_fewshot_solver_matches_reference(n, d):
+  import big_vision.evaluators.fewshot_lsr as ref_fs
+  from small_vision_tpu.evaluators import fewshot_lsr as my_fs
+
+  assert my_fs.BIAS_CONSTANT == ref_fs.BIAS_CONSTANT
+  rng = np.random.default_rng(0)
+  ncls = 5
+  x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+  y = jnp.asarray(rng.integers(0, ncls, n), jnp.int32)
+  xt = jnp.asarray(rng.normal(size=(40, d)), jnp.float32)
+  yt = jnp.asarray(rng.integers(0, ncls, 40), jnp.int32)
+
+  ref_cache = ref_fs._precompute_cache(x, y, ncls)
+  my_cache = my_fs._precompute_cache(x, y, ncls)
+  for k in ("mean", "std", "eigs"):
+    np.testing.assert_allclose(np.asarray(my_cache[k]),
+                               np.asarray(ref_cache[k]),
+                               rtol=1e-4, atol=1e-4, err_msg=k)
+  for l2 in (2.0 ** 6, 2.0 ** 10, 2.0 ** 14):
+    a_ref = float(ref_fs._eig_fewshot_acc_fn(ref_cache, xt, yt, l2))
+    a_my = float(my_fs._eig_fewshot_acc_fn(my_cache, xt, yt, l2))
+    assert a_ref == pytest.approx(a_my, abs=1e-6), l2
+
+
+# ---------------------------------------------------------------------------
+# (f) LR schedules + duration resolution vs reference utils
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("decay,kw", [
+    ("cosine", {}),
+    ("linear", dict(linear_end=0.01)),
+    ("rsqrt", dict(timescale=5000)),
+    ("stair", dict(steps=[300, 600], mults=[0.5, 0.1])),
+])
+def test_lr_schedule_matches_reference(decay, kw):
+  import big_vision.utils as ref_u
+  from small_vision_tpu.utils import schedules as my_s
+
+  common = dict(total_steps=1000, batch_size=512, data_size=50_000,
+                base=3e-4, decay_type=decay, warmup_steps=100,
+                cooldown_steps=50 if decay in ("cosine", "linear") else 0)
+  ref_fn = ref_u.create_learning_rate_schedule(**common, **kw)
+  my_fn = my_s.create_learning_rate_schedule(**common, **kw)
+  steps = np.asarray([0, 1, 50, 99, 100, 101, 250, 500, 900, 949, 951, 999])
+  ref_vals = np.asarray([float(ref_fn(s)) for s in steps])
+  my_vals = np.asarray([float(my_fn(s)) for s in steps])
+  np.testing.assert_allclose(my_vals, ref_vals, rtol=1e-6, atol=1e-9,
+                             err_msg=f"{decay} {list(zip(steps, ref_vals, my_vals))}")
+
+
+def test_steps_duration_resolution_matches_reference():
+  import big_vision.utils as ref_u
+  from small_vision_tpu.utils.schedules import steps as my_steps
+
+  data_size, batch_size, total = 1_281_167, 1024, 10_000
+  for cfg in (dict(warmup_steps=17), dict(warmup_epochs=3),
+              dict(warmup_examples=200_000), dict(warmup_percent=0.05)):
+    ref = ref_u.steps("warmup", cfg, data_size, batch_size, total, default=0)
+    mine = my_steps("warmup", cfg, data_size, batch_size, total, default=0)
+    assert ref == mine, (cfg, ref, mine)
+
+
+# ---------------------------------------------------------------------------
+# (g) the full optimizer chain (bv_optax.make) — update equality
+# ---------------------------------------------------------------------------
+
+
+def test_optimizer_chain_matches_reference():
+  """Same config/params/grads → bitwise-equal updates through the whole
+  masked adam+wd+clip+schedule chain (the ae_i1k training recipe)."""
+  import ml_collections as mlc
+  import big_vision.optax as ref_opt
+  from small_vision_tpu import optim as my_opt
+
+  def cfg():
+    c = mlc.ConfigDict()
+    c.lr = 15e-5
+    c.wd = 0.05
+    c.optax_name = "scale_by_adam"
+    c.optax = dict(b2=0.95)
+    c.grad_clip_norm = 1.0
+    c.schedule = dict(decay_type="cosine", warmup_steps=5)
+    return c
+
+  rng = np.random.default_rng(0)
+  params = {
+      "Dense_0": {"kernel": jnp.asarray(rng.normal(size=(8, 16)), jnp.float32),
+                  "bias": jnp.asarray(rng.normal(size=(16,)), jnp.float32)},
+      "cls": jnp.asarray(rng.normal(size=(1, 4, 8)), jnp.float32),
+  }
+  grads = jax.tree.map(
+      lambda x: jnp.asarray(rng.normal(size=x.shape), jnp.float32), params)
+  sched_kw = dict(total_steps=100, batch_size=256, data_size=10_000)
+
+  ref_tx, _ = ref_opt.make(cfg(), params, sched_kw=sched_kw)
+  my_tx, _ = my_opt.make(cfg(), params, sched_kw=sched_kw)
+
+  ref_state = ref_tx.init(params)
+  my_state = my_tx.init(params)
+  p_ref, p_my = params, params
+  for _ in range(3):
+    ref_up, ref_state = ref_tx.update(grads, ref_state, p_ref)
+    my_up, my_state = my_tx.update(grads, my_state, p_my)
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(ref_up),
+        jax.tree_util.tree_leaves_with_path(my_up)):
+      np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                 rtol=1e-6, atol=1e-8,
+                                 err_msg=jax.tree_util.keystr(kp))
+    import optax as _optax
+    p_ref = _optax.apply_updates(p_ref, ref_up)
+    p_my = _optax.apply_updates(p_my, my_up)
+  # Step counter recovery parity.
+  assert int(ref_opt.get_count(ref_state)) == int(my_opt.get_count(my_state))
