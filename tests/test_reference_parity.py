@@ -521,3 +521,28 @@ def test_optimizer_chain_matches_reference():
     p_my = _optax.apply_updates(p_my, my_up)
   # Step counter recovery parity.
   assert int(ref_opt.get_count(ref_state)) == int(my_opt.get_count(my_state))
+
+
+# ---------------------------------------------------------------------------
+# (h) random masking — same PRNG key → bitwise-identical gather/scatter
+# ---------------------------------------------------------------------------
+
+
+def test_random_masking_matches_reference_bitwise():
+  """Same key → identical permutation, kept tokens, mask, ids_restore, and
+  image-mask upsampling (reference models/ae.py:9-36)."""
+  import big_vision.models.ae as ref_ae
+  from small_vision_tpu.ops import masking as my_m
+
+  key = jax.random.PRNGKey(42)
+  x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 16, 8)),
+                  jnp.float32)
+  ref_x, ref_mask, ref_ids = ref_ae.random_masking(x, 0.75, key)
+  my_x, my_mask, my_ids = my_m.random_masking(x, 0.75, key)
+  np.testing.assert_array_equal(np.asarray(my_ids), np.asarray(ref_ids))
+  np.testing.assert_array_equal(np.asarray(my_x), np.asarray(ref_x))
+  np.testing.assert_array_equal(np.asarray(my_mask), np.asarray(ref_mask))
+
+  ref_img = ref_ae.sequence_mask_to_image_mask(ref_mask, 2, 8)
+  my_img = my_m.sequence_mask_to_image_mask(my_mask, 2, 8)
+  np.testing.assert_array_equal(np.asarray(my_img), np.asarray(ref_img))
