@@ -40,3 +40,14 @@ def test_fsdp_2d_mesh_matches(tmp_path):
                    param_sharding="fully_sharded",
                    optim_sharding="fully_sharded")
   np.testing.assert_allclose(base, fsdp2d, rtol=2e-4, atol=1e-5)
+
+
+def test_tensor_parallel_training_matches_replicated(tmp_path):
+  """Full training over a 3-D (data=2, fsdp=2, tensor=2) virtual-pod mesh
+  with width-sharded attention/MLP params: same losses as replicated."""
+  base = _losses(tmp_path, "repl3")
+  tp3d = _losses(tmp_path, "tp3d",
+                 mesh_fsdp=2, mesh_tensor=2,
+                 param_sharding="tensor_parallel",
+                 optim_sharding="tensor_parallel")
+  np.testing.assert_allclose(base, tp3d, rtol=2e-4, atol=1e-5)
