@@ -44,6 +44,7 @@ def infer_sharding(tree, mesh: Mesh, strategy: str = "replicated",
       "replicated": replicated,
       "fully_sharded": fully_sharded,
       "tensor_parallel": tensor_parallel,
+      "tp_fsdp": tp_fsdp,
   }
   if strategy not in fns:
     raise ValueError(f"Unknown sharding strategy: {strategy!r}")
@@ -110,6 +111,20 @@ def tensor_parallel(tree, mesh, axis_name=None):
     return _replicated(mesh)
 
   return tree_map_with_names(spec_for, tree)
+
+
+def tp_fsdp(tree, mesh, axis_name=None, min_size_to_shard: int = 2**18):
+  """Combined strategy for 3-D (data x fsdp x tensor) meshes: transformer
+  width dims shard over 'tensor' (Megatron-style, _TP_RULES); every leaf the
+  rules don't match falls back to ZeRO-3 over 'fsdp'."""
+  del axis_name
+  tp = tensor_parallel(tree, mesh)
+  fs = fully_sharded(tree, mesh, axis_name="fsdp",
+                     min_size_to_shard=min_size_to_shard)
+
+  def pick(t, f):
+    return t if any(e is not None for e in t.spec) else f
+  return jax.tree.map(pick, tp, fs)
 
 
 def reshard(tree, shardings: Any):

@@ -122,3 +122,27 @@ def test_tensor_parallel_model_forward_matches_replicated():
     out = jax.jit(fwd)(p_tp, x_tp)
   np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                              rtol=1e-4, atol=1e-5)
+
+
+def test_tp_fsdp_combined_strategy():
+  """tp_fsdp: TP-rule leaves shard over 'tensor'; the rest ZeRO over 'fsdp'."""
+  import jax
+  import jax.numpy as jnp
+  mesh = parallel.make_mesh(data=2, fsdp=2, tensor=2)
+  tree = {
+      "Encoder": {"blocks_00": {"MultiHeadAttention_0": {"query": {
+          "kernel": jnp.zeros((64, 4, 16))}}}},
+      "MlpBlock_0": {"Dense_0": {"kernel": jnp.zeros((64, 256))}},
+      "embedding": jnp.zeros((1000, 64)),
+      "bias": jnp.zeros((64,)),
+  }
+  sh = parallel.infer_sharding(tree, mesh, "tp_fsdp", min_size_to_shard=0)
+  flat = dict(jax.tree_util.tree_leaves_with_path(
+      jax.tree.map(lambda s: tuple(s.spec), sh)))
+  by_name = {jax.tree_util.keystr(k): v for k, v in flat.items()}
+  q = [v for k, v in by_name.items() if "query" in k][0]
+  assert "tensor" in q, q                       # TP rule applied
+  d0 = [v for k, v in by_name.items() if "Dense_0" in k][0]
+  assert "tensor" in d0, d0
+  emb = [v for k, v in by_name.items() if "embedding" in k][0]
+  assert "fsdp" in emb and "tensor" not in emb, emb  # ZeRO fallback
