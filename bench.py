@@ -52,7 +52,10 @@ def _build_step(mode: str, batch_size: int, attn_impl: str = "xla"):
   config.model = dict(
       variant="B/4", img_size=64, scan=not native, adaln=True,
       dtype_mm="bfloat16" if native else "float32",
-      attn_impl=attn_impl if native else "xla",
+      # Reference mode runs the reference's own attention implementation
+      # (stock flax MHA, reference models/vit.py:82-87), not our packed
+      # projection modules.
+      attn_impl=attn_impl if native else "flax",
       # Native: unrolled blocks, XLA auto-remat (measured faster than
       # explicit save_attn_mlp remat at bs256: 933 vs 834 imgs/s — XLA's
       # choice of what to rematerialize under HBM pressure beats the
@@ -60,10 +63,13 @@ def _build_step(mode: str, batch_size: int, attn_impl: str = "xla"):
       # time, binds, e.g. bs512).
       remat_policy=(os.environ.get("SV_BENCH_REMAT", "nothing_saveable")
                     if native else "nothing_saveable"))
-  # The bench times the steady-state step: heavy l2-norm metrics run only on
-  # log steps in real training (update_fn.with_l2), so the plain variant is
-  # what both modes measure. SV_BENCH_L2=1 benches the l2 variant instead.
-  config.l2_metrics = os.environ.get("SV_BENCH_L2", "0") == "1"
+  # Steady-state metric behavior differs BY DESIGN: the reference computes
+  # the 3 global-norm metrics inside every step (reference
+  # trainers/train_ae.py:368-371), while this framework runs them only on
+  # log steps (update_fn.with_l2). The bench reproduces each side's real
+  # steady state: reference mode times the l2 variant, native the plain
+  # one. SV_BENCH_L2=1 forces the l2 variant into the native mode too.
+  config.l2_metrics = (not native) or os.environ.get("SV_BENCH_L2") == "1"
 
   mesh = parallel.make_mesh()
   model = train_ae.build_model(config)
@@ -126,7 +132,7 @@ def _time_train(mode, batch_size, steps, attn_impl="xla"):
   from small_vision_tpu import parallel
   update_fn, train_state, batch, host_batch, mesh = _build_step(
       mode, batch_size, attn_impl)
-  if os.environ.get("SV_BENCH_L2", "0") == "1":
+  if mode == "reference" or os.environ.get("SV_BENCH_L2") == "1":
     update_fn = getattr(update_fn, "with_l2", update_fn)
   sharding = parallel.batch_sharding(mesh)
 

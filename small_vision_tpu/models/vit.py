@@ -205,7 +205,7 @@ class MultiHeadAttention(nn.Module):
   """
   num_heads: int
   dtype_mm: str = "bfloat16"
-  # "xla" | "pallas" | "pallas_interpret" | "pallas_fused"
+  # "xla" | "flax" | "pallas" | "pallas_interpret" | "pallas_fused"
   # | "pallas_fused_interpret"
   attn_impl: str = "xla"
 
@@ -214,6 +214,19 @@ class MultiHeadAttention(nn.Module):
     d = x.shape[-1]
     assert d % self.num_heads == 0
     head_dim = d // self.num_heads
+
+    if self.attn_impl == "flax":
+      # The reference's exact implementation: stock flax MHA with
+      # DenseGeneral projections (reference models/vit.py:82-87). Same
+      # param tree (query/key/value/out, kernels (d, H, hd)); used by the
+      # bench's reference-configuration mode so the baseline measures the
+      # reference's own compute pattern, not our packed modules.
+      mha = nn.MultiHeadDotProductAttention(
+          num_heads=self.num_heads, dtype=self.dtype_mm,
+          kernel_init=nn.initializers.xavier_uniform(),
+          deterministic=True)
+      nn.share_scope(self, mha)  # params live at query/key/value/out
+      return mha(x, x)
     proj = lambda name: _PackedProj(
         features=(self.num_heads, head_dim), name=name,
         dtype_mm=self.dtype_mm)
