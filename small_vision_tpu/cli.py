@@ -11,7 +11,6 @@ Multi-host init happens automatically on TPU pods (jax.distributed).
 import argparse
 import importlib
 import os
-import sys
 
 
 def parse_config(spec: str):

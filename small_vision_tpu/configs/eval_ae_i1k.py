@@ -5,7 +5,6 @@ force_eval, 50k-sample FID, configurable sampling_timesteps, multi-dataset
 transfer probe.
 """
 
-import ml_collections as mlc
 
 from small_vision_tpu.configs import common as cc
 from small_vision_tpu.configs.ae_i1k import get_config as get_train_config

@@ -11,7 +11,7 @@ random-access variant, precompute into the `arrays` source instead.
 """
 
 import glob as globlib
-from typing import Iterator, Sequence
+from typing import Iterator
 
 import jax
 import numpy as np

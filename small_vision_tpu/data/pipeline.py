@@ -20,7 +20,7 @@ import collections
 import itertools
 import queue
 import threading
-from typing import Iterator, Optional
+from typing import Iterator
 
 import jax
 import numpy as np

@@ -9,7 +9,6 @@ import functools
 from typing import Iterator
 
 import jax
-import numpy as np
 
 from small_vision_tpu.data import core
 

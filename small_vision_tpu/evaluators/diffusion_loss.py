@@ -5,7 +5,6 @@ jit'd loss over the val split, plus x_t / pred-x0 / pred-x0-from-eps image
 tensors from the first batch for qualitative tracking.
 """
 
-import functools
 
 import jax
 import numpy as np

@@ -14,7 +14,6 @@ one jitted program, so only the final (2048,) + (2048,2048) moments cross to
 the host once. IS probabilities (B,1008) still stream to host (tiny).
 """
 
-import functools
 from typing import Optional, Tuple
 
 import jax

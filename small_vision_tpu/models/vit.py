@@ -15,7 +15,7 @@ TPU-first deviations from the reference:
     instead of flax logical-axis rules.
 """
 
-from typing import Any, Optional, Sequence, Union
+from typing import Optional, Sequence, Union
 
 import flax.linen as nn
 import jax

@@ -9,7 +9,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from small_vision_tpu.pp.registry import Registry
-from small_vision_tpu.pp.utils import InKeyOutKey, maybe_repeat
+from small_vision_tpu.pp.utils import InKeyOutKey
 
 
 @Registry.register("value_range", stage="device")

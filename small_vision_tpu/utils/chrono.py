@@ -8,7 +8,6 @@ save/restorable so restarts keep cumulative core-hours.
 """
 
 import time
-from typing import Optional
 
 import jax
 import numpy as np
