@@ -176,3 +176,18 @@ def test_timestep_embedding_distinct():
   assert e0.shape == (2, 32)
   assert not np.allclose(np.asarray(e5)[0], np.asarray(e5)[1])
   np.testing.assert_allclose(np.asarray(e0)[0], np.asarray(e0)[1])
+
+
+def test_flax_attn_impl_matches_xla_forward():
+  """attn_impl="flax" (the bench's reference-mode attention — stock flax
+  MHA) produces the same forward as the packed path on the same params."""
+  x = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 64))
+  outs = {}
+  for impl in ("xla", "flax"):
+    m = vit_mod.MultiHeadAttention(num_heads=4, dtype_mm="float32",
+                                   attn_impl=impl)
+    p = m.init(jax.random.PRNGKey(1), x)["params"]
+    outs[impl] = np.asarray(m.apply({"params": p}, x))
+  assert jax.tree.map(lambda a: a.shape, outs["xla"]) is not None
+  np.testing.assert_allclose(outs["xla"], outs["flax"],
+                             rtol=2e-5, atol=2e-5)
