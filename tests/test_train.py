@@ -111,3 +111,28 @@ def test_checkpoint_save_resume(tmp_path):
   state2, _ = train_ae.train_and_evaluate(config, str(tmp_path))
   from small_vision_tpu import optim
   assert optim.get_count(state2["opt"]) == 6
+
+
+def test_checkpoint_pressure_every_step(tmp_path):
+  """Async orbax checkpointing under pressure: save EVERY step while
+  training continues; all commits must be complete (atomic) and resume must
+  pick up the latest step."""
+  import os
+  config = smoke_config()
+  config.save_ckpt = True
+  config.ckpt_steps = 1
+  config.total_steps = 6
+  train_ae.train_and_evaluate(config, str(tmp_path))
+
+  ckpt_dir = tmp_path / "checkpoints"
+  steps = sorted(int(d) for d in os.listdir(ckpt_dir) if d.isdigit())
+  assert steps and steps[-1] >= 5, steps
+  # orbax atomicity: no leftover tmp dirs after wait_until_finished.
+  assert not [d for d in os.listdir(ckpt_dir) if "tmp" in d.lower()], (
+      os.listdir(ckpt_dir))
+
+  # Resume from the latest: the loop has nothing left to run but must
+  # restore cleanly and return a state with finite params.
+  state, _ = train_ae.train_and_evaluate(config, str(tmp_path))
+  leaf = np.asarray(jax.tree.leaves(state["params"])[0])
+  assert np.isfinite(leaf).all()
