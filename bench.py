@@ -128,7 +128,11 @@ def _build_step(mode: str, batch_size: int, attn_impl: str = "xla"):
   return update_fn, train_state, batch, host_batch, mesh
 
 
-def _time_train(mode, batch_size, steps, attn_impl="xla"):
+def _time_train(mode, batch_size, steps, attn_impl="xla", windows=3):
+  """Times `windows` independent windows of `steps` steps each and returns
+  the per-window imgs/sec list. Multiple windows make a real regression
+  distinguishable from run-to-run noise on the tunneled chip (the r1→r2
+  driver delta was one ±3% window wide) — report the median + spread."""
   from small_vision_tpu import parallel
   update_fn, train_state, batch, host_batch, mesh = _build_step(
       mode, batch_size, attn_impl)
@@ -146,16 +150,24 @@ def _time_train(mode, batch_size, steps, attn_impl="xla"):
   for _ in range(3):
     train_state, m = update_fn(train_state, fresh())
     float(jax.device_get(m["training_loss"]))
-  # Chained steps with one closing sync: block_until_ready is unreliable on
-  # the tunneled backend, but device_get of a scalar output of the LAST step
-  # transitively waits for the whole chain (state dependency).
-  t0 = time.perf_counter()
-  for _ in range(steps):
-    train_state, m = update_fn(train_state, fresh())
-  loss = float(jax.device_get(m["training_loss"]))
-  dt = time.perf_counter() - t0
-  assert np.isfinite(loss), f"bench loss not finite: {loss}"
-  return batch_size * steps / dt
+  rates = []
+  for _ in range(windows):
+    # Chained steps with one closing sync: block_until_ready is unreliable
+    # on the tunneled backend, but device_get of a scalar output of the LAST
+    # step transitively waits for the whole chain (state dependency).
+    t0 = time.perf_counter()
+    for _ in range(steps):
+      train_state, m = update_fn(train_state, fresh())
+    loss = float(jax.device_get(m["training_loss"]))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(loss), f"bench loss not finite: {loss}"
+    rates.append(batch_size * steps / dt)
+  return rates
+
+
+def _spread_pct(rates):
+  med = float(np.median(rates))
+  return 100.0 * (max(rates) - min(rates)) / med if med else 0.0
 
 
 def _time_sampler(batch_size=64, sampling_steps=125):
@@ -190,45 +202,61 @@ def _time_sampler(batch_size=64, sampling_steps=125):
   sample_fn = jax.jit(eval_fns["uncond_eps"])
   out = sample_fn(train_state, jax.random.PRNGKey(1))
   float(jax.device_get(out["fid_samples"][0, 0, 0, 0]).astype(np.float32))
-  t0 = time.perf_counter()
-  out = sample_fn(train_state, jax.random.PRNGKey(2))
-  float(jax.device_get(out["fid_samples"][0, 0, 0, 0]).astype(np.float32))
-  dt = time.perf_counter() - t0
-  return batch_size / dt
+  rates = []
+  for i in range(int(os.environ.get("SV_BENCH_SAMPLER_WINDOWS", 3))):
+    t0 = time.perf_counter()
+    out = sample_fn(train_state, jax.random.PRNGKey(2 + i))
+    float(jax.device_get(out["fid_samples"][0, 0, 0, 0]).astype(np.float32))
+    rates.append(batch_size / (time.perf_counter() - t0))
+  return rates
 
 
 def main():
   batch = int(os.environ.get("SV_BENCH_BATCH", 256))
   steps = int(os.environ.get("SV_BENCH_STEPS", 20))
+  windows = int(os.environ.get("SV_BENCH_WINDOWS", 3))
   attn = os.environ.get("SV_BENCH_ATTN", "pallas")
   n_chips = jax.device_count()
 
   try:
-    native = _time_train("native", batch, steps, attn_impl=attn)
+    native_rates = _time_train("native", batch, steps, attn_impl=attn,
+                               windows=windows)
   except Exception:  # noqa: BLE001 — e.g. remote Mosaic compile failure.
     if attn == "xla":
       raise
     import traceback
     traceback.print_exc()
-    native = None
-  if native is None:
+    native_rates = None
+  if native_rates is None:
     # Retry OUTSIDE the except block: the live traceback would otherwise pin
     # the failed attempt's on-device train state and OOM the retry.
     import gc
     gc.collect()
     attn = "xla"
-    native = _time_train("native", batch, steps, attn_impl=attn)
-  extras = {"attn_impl": attn}
+    native_rates = _time_train("native", batch, steps, attn_impl=attn,
+                               windows=windows)
+  native = float(np.median(native_rates))
+  extras = {
+      "attn_impl": attn,
+      "windows_imgs_per_sec": [round(r / n_chips, 1) for r in native_rates],
+      "spread_pct": round(_spread_pct(native_rates), 2),
+  }
 
   if os.environ.get("SV_BENCH_SKIP_BASELINE", "0") != "1":
-    ref_mode = _time_train("reference", batch, max(steps // 2, 5))
+    ref_rates = _time_train("reference", batch, max(steps // 2, 5),
+                            windows=max(windows - 1, 2))
+    ref_mode = float(np.median(ref_rates))
     extras["ref_mode_imgs_per_sec_per_chip"] = round(ref_mode / n_chips, 2)
+    extras["ref_mode_spread_pct"] = round(_spread_pct(ref_rates), 2)
     vs_baseline = native / ref_mode
   else:
     vs_baseline = 1.0
 
   if os.environ.get("SV_BENCH_SAMPLER", "1") != "0":
-    extras["sampler_125step_imgs_per_sec"] = round(_time_sampler(), 3)
+    s_rates = _time_sampler()
+    extras["sampler_125step_imgs_per_sec"] = round(
+        float(np.median(s_rates)), 3)
+    extras["sampler_spread_pct"] = round(_spread_pct(s_rates), 2)
 
   print(json.dumps({
       "metric": "train imgs/sec/chip (UMD-B/4@64)",

@@ -48,17 +48,13 @@ def main():
                   choices=["ref_to_ours", "ours_to_ref"])
   ap.add_argument("--patch", type=int, default=4,
                   help="patch size (the '4' in B/4)")
-  ap.add_argument("--bias_atol", type=float, default=0.0,
-                  help="ours_to_ref: max allowed per-position head-bias "
-                       "deviation (0 = warn only)")
   args = ap.parse_args()
 
   params = load_flat_npz(args.inp)
   if args.direction == "ref_to_ours":
     out = convert_ref.ref_to_ours(params, patch_size=args.patch)
   else:
-    out = convert_ref.ours_to_ref(params, patch_size=args.patch,
-                                  bias_atol=args.bias_atol)
+    out = convert_ref.ours_to_ref(params, patch_size=args.patch)
   save_flat_npz(args.out, out)
   n = len(convert_ref._flatten(out))
   print(f"wrote {args.out}: {n} leaves ({args.direction})")

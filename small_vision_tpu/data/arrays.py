@@ -12,7 +12,6 @@ Layout: `{root}/images.npy` (N,H,W,C) uint8 memmap and optional
 import os
 from typing import Iterator, Optional
 
-import jax
 import numpy as np
 
 from small_vision_tpu.data import core
@@ -51,15 +50,22 @@ class DataSource(core.DataSource):
   def total_examples(self) -> int:
     return self._hi - self._lo
 
+  def _example(self, i):
+    ex = {"image": np.asarray(self.images[i]), "_id": np.int64(i)}
+    if self.labels is not None:
+      ex["label"] = np.int64(self.labels[i])
+    return ex
+
   def examples(self, *, ordered: bool = False, seed: int = 0,
                epoch: int = 0) -> Iterator[dict]:
-    per_proc = self.total_examples // jax.process_count()
-    start = self._lo + jax.process_index() * per_proc
-    idx = np.arange(start, start + per_proc)
+    # Even split with the remainder spread (tfds.even_splits semantics) so
+    # eval covers every example and per-host counts differ by at most one.
+    start, stop = core.even_split_range(self.total_examples)
+    idx = np.arange(self._lo + start, self._lo + stop)
     if not ordered:
       np.random.default_rng((seed, epoch)).shuffle(idx)
     for i in idx:
-      ex = {"image": np.asarray(self.images[i]), "_id": np.int64(i)}
-      if self.labels is not None:
-        ex["label"] = np.int64(self.labels[i])
-      yield ex
+      yield self._example(i)
+
+  def peek(self) -> dict:
+    return self._example(self._lo)  # global first example, on every process

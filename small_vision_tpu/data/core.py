@@ -14,6 +14,20 @@ from typing import Iterator
 import jax
 
 
+def even_split_range(total: int, index=None, count=None):
+  """[start, stop) of process `index`'s shard with the remainder spread.
+
+  Matches `tfds.even_splits` semantics (reference datasets/tfds.py): the
+  first `total % count` processes get one extra example, so every example
+  is covered and per-process counts differ by at most one.
+  """
+  index = jax.process_index() if index is None else index
+  count = jax.process_count() if count is None else count
+  base, rem = divmod(total, count)
+  start = index * base + min(index, rem)
+  return start, start + base + (1 if index < rem else 0)
+
+
 class DataSource(abc.ABC):
   """A (restartable) source of example dicts for one process's shard."""
 
@@ -30,7 +44,26 @@ class DataSource(abc.ABC):
 
   @property
   def num_examples_per_process(self) -> int:
-    return self.total_examples // jax.process_count()
+    """MAX per-process example count — identical on every host.
+
+    The eval protocol derives its per-host step count from this (reference
+    input_pipeline.py:152-156 uses `max(num_ex_per_process)`), so it must
+    be an upper bound shared by all hosts; with even splits that is
+    ceil(total / process_count).
+    """
+    return -(-self.total_examples // jax.process_count())
+
+  def peek(self) -> dict:
+    """One RAW example from the GLOBAL dataset, available on EVERY process
+    (even one whose local shard is empty) — used to build the zero-padding
+    template for the eval protocol. Default: first local ordered example;
+    sources whose local shard can be empty should override."""
+    for ex in self.examples(ordered=True):
+      return ex
+    raise ValueError(
+        f"{type(self).__name__}: local shard is empty and peek() is not "
+        "overridden to fetch a global example — the multihost eval padding "
+        "template cannot be built on this process.")
 
 
 def get(name: str, **kw) -> DataSource:

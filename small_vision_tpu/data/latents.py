@@ -62,6 +62,21 @@ class DataSource(core.DataSource):
       yield {"image": ex["image"].reshape(LATENT_SHAPE).astype(np.float32),
              "label": np.int64(ex["label"]), "_id": np.int64(i)}
 
+  def peek(self) -> dict:
+    """First record GLOBALLY (unsharded) — available on every process even
+    when `ds.shard` leaves this one empty (eval padding-template protocol)."""
+    import tensorflow as tf
+    tf.config.set_visible_devices([], "GPU")
+    dim = int(np.prod(LATENT_SHAPE))
+    spec = {"image": tf.io.FixedLenFeature([dim], tf.float32),
+            "label": tf.io.FixedLenFeature([], tf.int64)}
+    for raw in tf.data.TFRecordDataset(self.files[:1]).as_numpy_iterator():
+      ex = tf.io.parse_single_example(raw, spec)
+      return {"image": ex["image"].numpy().reshape(LATENT_SHAPE)
+                  .astype(np.float32),
+              "label": np.int64(ex["label"].numpy()), "_id": np.int64(0)}
+    raise ValueError(f"no records in {self.files[0]!r}")
+
 
 def precompute_latents(source, vae_apply, out_pattern: str,
                        batch_size: int = 256, views: int = 4,

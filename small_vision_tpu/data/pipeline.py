@@ -269,19 +269,36 @@ def make_for_inference(source: ds_core.DataSource, pp_spec: str, mesh,
   local_bs = batch_size // jax.process_count()
   sharding = batch_sharding(mesh)
 
+  # MAX per-process count (ceil with even splits) — identical on every host,
+  # covering the largest shard like the reference's max(num_ex_per_process)
+  # (input_pipeline.py:152-156).
   n_local = source.num_examples_per_process
-  n_steps = -(-max(n_local, 1) // local_bs)  # ceil; identical on all hosts
+  n_steps = -(-max(n_local, 1) // local_bs)  # ceil
+
+  def make_template():
+    """All-zero padding batch built from a peeked GLOBAL example, so a host
+    whose local shard is empty still pads to n_steps (the round-2 deadlock:
+    the template used to come from the first locally-yielded batch)."""
+    ex = dict(source.peek())
+    ex["_rng"] = np.random.default_rng(0)
+    one = _collate([host_pp(ex)])
+    tmpl = {k: np.zeros((local_bs,) + v.shape[1:], v.dtype)
+            for k, v in one.items()}
+    tmpl["_mask"] = np.zeros((local_bs,), np.float32)
+    return tmpl
 
   def iterate():
     def ordered():
       return source.examples(ordered=True)
 
+    template = make_template()
     host_iter = iter(_HostPipeline(
         ordered, host_pp, local_bs, num_workers=num_workers,
         drop_remainder=False))
     emitted = 0
-    template = None
     for local_batch in host_iter:
+      if emitted >= n_steps:  # never exceed the agreed per-host step count
+        break
       b = next(iter(local_batch.values())).shape[0]
       mask = np.ones((b,), np.float32)
       if b < local_bs:  # zero-pad the final short batch
@@ -291,13 +308,12 @@ def make_for_inference(source: ds_core.DataSource, pp_spec: str, mesh,
             for k, v in local_batch.items()}
         mask = np.concatenate([mask, np.zeros((pad,), np.float32)])
       local_batch["_mask"] = mask
-      template = {k: np.zeros_like(v) for k, v in local_batch.items()}
       emitted += 1
       yield jax.tree.map(
           lambda x: jax.make_array_from_process_local_data(sharding, x),
           local_batch)
     # All-zero batches so every host reaches n_steps.
-    while emitted < n_steps and template is not None:
+    while emitted < n_steps:
       emitted += 1
       yield jax.tree.map(
           lambda x: jax.make_array_from_process_local_data(sharding, x),

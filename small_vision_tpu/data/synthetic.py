@@ -7,7 +7,6 @@ one memcpy per example — the device step dominates, as it should in a bench.
 
 from typing import Iterator
 
-import jax
 import numpy as np
 
 from small_vision_tpu.data import core
@@ -32,16 +31,23 @@ class DataSource(core.DataSource):
   def total_examples(self) -> int:
     return self._total
 
+  def _example(self, i):
+    return {
+        "image": self._images[i % self._pool],
+        "label": np.int64(i % self.num_classes),
+        "_id": np.int64(i),
+    }
+
   def examples(self, *, ordered: bool = False, seed: int = 0,
                epoch: int = 0) -> Iterator[dict]:
-    per_proc = self.total_examples // jax.process_count()
-    start = jax.process_index() * per_proc
-    idx = np.arange(start, start + per_proc)
+    # Even split with the remainder spread (tfds.even_splits semantics) so
+    # eval covers every example and per-host counts differ by at most one.
+    start, stop = core.even_split_range(self.total_examples)
+    idx = np.arange(start, stop)
     if not ordered:
       np.random.default_rng((seed, epoch)).shuffle(idx)
     for i in idx:
-      yield {
-          "image": self._images[i % self._pool],
-          "label": np.int64(i % self.num_classes),
-          "_id": np.int64(i),
-      }
+      yield self._example(i)
+
+  def peek(self) -> dict:
+    return self._example(0)  # global example 0, available on every process

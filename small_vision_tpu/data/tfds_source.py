@@ -41,6 +41,19 @@ class DataSource(core.DataSource):
   def total_examples(self) -> int:
     return self._total
 
+  def peek(self) -> dict:
+    """First example of the FULL split — available even on a process whose
+    even_splits shard is empty (eval padding-template protocol)."""
+    decoders = ({"image": tfds.decode.SkipDecoding()}
+                if self.skip_decode else None)
+    ds = self.builder.as_dataset(
+        split=tfds.core.ReadInstruction(self.split, from_=0, to=1,
+                                        unit="abs"),
+        shuffle_files=False, decoders=decoders)
+    for ex in ds.as_numpy_iterator():
+      return dict(ex)
+    raise ValueError(f"split {self.split!r} is empty")
+
   def examples(self, *, ordered: bool = False, seed: int = 0,
                epoch: int = 0) -> Iterator[dict]:
     sub = tfds.even_splits(

@@ -10,7 +10,7 @@ grid.
 import jax
 import numpy as np
 
-from small_vision_tpu.parallel.collectives import process_allgather
+from small_vision_tpu.parallel.collectives import fetch_global
 
 
 class Evaluator:
@@ -29,13 +29,14 @@ class Evaluator:
     while n < self.total_samples:
       out = self._sample_fn(train_state, rng)
       rng = out["rng"]
-      got = jax.device_get(
+      # fetch_global: the jitted sample fn's outputs are global arrays (one
+      # global sample set, batch-sharded or replicated over the mesh) —
+      # fetch them exactly once. device_get raised on spanning shards, and
+      # a blanket process_allgather would DUPLICATE replicated samples
+      # nproc times, silently corrupting FID.
+      got = fetch_global(
           {"samples": out["fid_samples"], "ys": out["ys"],
            "examples": out["image_examples"]})
-      if jax.process_count() > 1:
-        got = process_allgather(
-            {"samples": got["samples"], "ys": got["ys"]}) | {
-                "examples": got["examples"]}
       samples.append(np.asarray(got["samples"]))
       if got["ys"] is not None:
         labels.append(np.asarray(got["ys"]))

@@ -114,7 +114,12 @@ class Evaluator:
         batch = jax.jit(device_pp)(batch, pp_rng)
       mask = batch.pop("_mask")
       y = batch.pop(self.label_key)
-      rep, y, mask = jax.device_get(
+      # fetch_global: reps/labels are batch-sharded global arrays whose
+      # shards span hosts with process_count>1 (device_get would raise);
+      # every host assembles the full representation matrix, matching the
+      # reference's allgather (fewshot_lsr.py predict + process gather).
+      from small_vision_tpu.parallel.collectives import fetch_global
+      rep, y, mask = fetch_global(
           self._repr_fn(train_state, batch, y, mask, pp_rng))
       keep = np.asarray(mask).astype(bool)
       reps.append(np.asarray(rep)[keep])

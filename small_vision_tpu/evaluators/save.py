@@ -34,11 +34,15 @@ class Evaluator:
       batch = dict(batch)
       if self.device_pp is not None:
         batch = jax.jit(self.device_pp)(batch, pp_rng)
-      mask = np.asarray(jax.device_get(batch["_mask"])).astype(bool)
-      pred, *_ = jax.device_get(self._predict(train_state, batch))
+      # fetch_global: batch/pred shards span hosts with process_count>1
+      # (device_get raises); every host assembles the full rows, process 0
+      # writes (matching the reference's gather-then-write protocol).
+      from small_vision_tpu.parallel.collectives import fetch_global
+      mask = fetch_global(batch["_mask"]).astype(bool)
+      pred, *_ = fetch_global(self._predict(train_state, batch))
       if pred is not None:
         outs.append(np.asarray(pred)[mask])
-      ins.append(np.asarray(jax.device_get(batch["image"]))[mask])
+      ins.append(fetch_global(batch["image"])[mask])
     if jax.process_index() == 0:
       np.savez(self.outfile, inputs=np.concatenate(ins),
                outputs=np.concatenate(outs) if outs else np.zeros(0))

@@ -92,9 +92,18 @@ class _ViTAE(nn.Module):
           self.width * 2, kernel_init=nn.initializers.zeros,
           name="final_modulation", dtype=self.dtype_mm)
     # Dense unpatchify to the dual [x0 ‖ eps] head (2*channels per pixel).
+    # The bias is PER-CHANNEL (2c,), tied across patch positions, exactly
+    # like the reference's ConvTranspose final_conv bias (reference
+    # models/ae.py) — an untied (p*p*2c,) Dense bias is more expressive but
+    # trains along a measurably different trajectory (the gradients sum over
+    # positions in the reference) and cannot round-trip through the
+    # checkpoint converter losslessly.
     self.head = nn.Dense(
-        p * p * self.channels * 2, name="head",
+        p * p * self.channels * 2, name="head", use_bias=False,
         kernel_init=nn.initializers.normal(0.02), dtype=self.dtype_mm)
+    self.head_bias = self.param(
+        "head_bias", nn.initializers.zeros, (2 * self.channels,),
+        jnp.float32)
 
   def embed(self, image, t=None, y=None, train=False):
     """Patchify + build the conditioning vector from (t, y)."""
@@ -163,9 +172,10 @@ class _ViTAE(nn.Module):
 
     x = self.head(x)  # (n, L, p*p*2c)
     p = self.patch_size[0]
-    return einops.rearrange(
+    out = einops.rearrange(
         x, "n (gh gw) (ph pw c) -> n (gh ph) (gw pw) c",
         gh=self.grid, gw=self.grid, ph=p, pw=p).astype(jnp.float32)
+    return out + self.head_bias  # per-channel, ConvTranspose-bias semantics
 
   def __call__(self, image, *, t=None, y=None, cfg_scale=None, mask=0.0,
                train=False):

@@ -39,11 +39,24 @@ def _round_up(x, m):
   return ((x + m - 1) // m) * m
 
 
-def _pick_bb(b, stack_bytes_per_row, budget=11 * 2**20):
-  """Rows per grid step bounded by the 16 MB scoped-VMEM stack limit."""
+def _pick_bb(b, stack_bytes_per_row, weight_bytes=0, budget=11 * 2**20):
+  """Rows per grid step bounded by the 16 MB scoped-VMEM stack limit.
+
+  `weight_bytes` counts the weight blocks also resident in VMEM (MLP is
+  ~9.4 MB bf16 at width 768, growing quadratically) — they share the same
+  budget, so larger variants (L/H widths) must shrink bb or fail loudly
+  here rather than with an opaque Mosaic VMEM-exhaustion compile error.
+  """
+  avail = budget - weight_bytes
   for bb in (8, 4, 2, 1):
-    if b % bb == 0 and bb * stack_bytes_per_row <= budget:
+    if b % bb == 0 and bb * stack_bytes_per_row <= avail:
       return bb
+  if stack_bytes_per_row > avail:
+    raise ValueError(
+        f"fused block kernel cannot fit in VMEM: {weight_bytes/2**20:.1f} MB "
+        f"weights + {stack_bytes_per_row/2**20:.1f} MB/row of stack exceeds "
+        f"the {budget/2**20:.0f} MB scoped-VMEM budget even at bb=1; use the "
+        "unfused path (attn_impl='pallas') for this width.")
   return 1
 
 
@@ -98,8 +111,9 @@ def _mha_pallas(x, wq, bq, wk, bk, wv, bv, wo, bo, num_heads, interpret):
   lp = _round_up(l, 16)
   scale = 1.0 / np.sqrt(d)
   # Stack per row: x + q/k/v + attn + out bf16 (6·lp·hd·2) + f32 score
-  # buffers (~3·lp·lp·4).
-  bb = _pick_bb(b, 12 * lp * hd + 12 * lp * lp)
+  # buffers (~3·lp·lp·4). Weight blocks (4 hd×hd mats + biases, bf16) are
+  # co-resident and counted against the same budget.
+  bb = _pick_bb(b, 12 * lp * hd + 12 * lp * lp, weight_bytes=8 * hd * hd + 8 * hd)
 
   row_spec = pl.BlockSpec((bb, lp, hd), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -188,8 +202,9 @@ def _mlp_pallas(x, w1, b1, w2, b2, interpret):
   dh = w1.shape[-1]
   lp = _round_up(l, 16)
   # Stack per row: x/out bf16 + hidden bf16 + f32 gelu temps ≈
-  # 4·lp·d + (2+8)·lp·dh bytes.
-  bb = _pick_bb(b, 4 * lp * d + 10 * lp * dh)
+  # 4·lp·d + (2+8)·lp·dh bytes. W1/W2 (bf16) are co-resident in VMEM.
+  bb = _pick_bb(b, 4 * lp * d + 10 * lp * dh,
+                weight_bytes=4 * d * dh + 2 * (d + dh))
 
   row_spec = pl.BlockSpec((bb, lp, d), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)

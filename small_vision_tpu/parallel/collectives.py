@@ -18,6 +18,37 @@ def process_allgather(tree, tiled: bool = True):
   return multihost_utils.process_allgather(tree, tiled=tiled)
 
 
+def fetch_global(tree):
+  """Fetches (possibly non-addressable) global arrays to host numpy.
+
+  `jax.device_get` raises on a multi-process global array whose shards span
+  other hosts (every evaluator that pulls per-example outputs — fewshot
+  representations, save/sampling images — hits this with process_count>1).
+  Fully-replicated and fully-addressable arrays fetch directly; batch-dim-0
+  sharded arrays are reassembled by allgathering each host's contiguous
+  row block (device order puts each process's shards contiguously on dim 0,
+  parallel/mesh.py make_mesh).
+  """
+  def fetch(x):
+    if not isinstance(x, jax.Array):
+      return None if x is None else np.asarray(x)
+    if x.is_fully_addressable:
+      return np.asarray(jax.device_get(x))
+    if x.is_fully_replicated:
+      return np.asarray(x.addressable_data(0))
+    by_start = {}  # dedupe: shards replicated across non-batch axes
+    for s in x.addressable_shards:
+      for dim_idx in s.index[1:]:
+        assert dim_idx == slice(None, None, None), (
+            f"fetch_global supports dim-0 (batch) sharding only, got index "
+            f"{s.index} for shape {x.shape}")
+      by_start.setdefault(s.index[0].start or 0, s)
+    local = np.concatenate(
+        [np.asarray(by_start[k].data) for k in sorted(by_start)], axis=0)
+    return multihost_utils.process_allgather(local, tiled=True)
+  return jax.tree.map(fetch, tree, is_leaf=lambda v: v is None)
+
+
 def broadcast_one_to_all(tree):
   """Broadcasts process 0's values to all processes."""
   if jax.process_count() == 1:

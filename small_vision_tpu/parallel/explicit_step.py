@@ -65,13 +65,22 @@ def _diffusion_loss(model, params, gd, images, t, noise, channels):
 
 
 def make_explicit_update_fn(model, tx, mesh, *, strategy="dp", channels=3,
-                            min_size_to_shard=2**18):
+                            min_size_to_shard=2**18, grad_clip_norm=None):
   """Builds a jitted shard_map train step with hand-written collectives.
 
   Returns update(train_state, batch) -> (train_state, loss) where
   train_state = {"params", "opt", "gd"} and batch = {"image", "t", "noise"}
   (t/noise injected for determinism). Params/opt must already be placed
   with the matching sharding (replicated for dp, fully_sharded for zero3).
+
+  ZERO3 CONSTRAINT: under zero3, `tx.update` runs inside shard_map on
+  LOCAL parameter/gradient shards, so tx must be shard-local (elementwise
+  per-leaf — adamw/sgd/wd are fine). Transforms needing global state, e.g.
+  optax.clip_by_global_norm (the production recipe's grad_clip_norm=1.0),
+  would silently compute per-shard norms. Pass `grad_clip_norm` here
+  instead: the clip is applied with the global norm psum'd across the
+  'fsdp' axis (sharded leaves) before tx.update, matching
+  optax.clip_by_global_norm semantics exactly.
   """
   batch_axes = mesh_lib.batch_axes(mesh)
   all_axes = tuple(mesh.axis_names)
@@ -114,6 +123,27 @@ def make_explicit_update_fn(model, tx, mesh, *, strategy="dp", channels=3,
         return g
       return jax.tree.map(scatter, grads, shard_dims)
 
+    def clip_global(grads, shard_dims):
+      """optax.clip_by_global_norm with the norm psum'd across 'fsdp'.
+
+      Sharded leaves (shard_dim not None) hold disjoint shards -> psum
+      their local sq-norms over fsdp; replicated leaves are identical on
+      every fsdp shard -> count once. Matches optax semantics:
+      g * max_norm / g_norm when g_norm >= max_norm, identity otherwise.
+      """
+      def leaf_sq(g, dim):
+        s = jnp.sum(jnp.square(g.astype(jnp.float32)))
+        if dim is not None:
+          s = jax.lax.psum(s, "fsdp")
+        return s
+      sq = sum(jax.tree.leaves(jax.tree.map(leaf_sq, grads, shard_dims)))
+      g_norm = jnp.sqrt(sq)
+      trigger = g_norm < grad_clip_norm
+      return jax.tree.map(
+          lambda g: jnp.where(
+              trigger, g, (g / g_norm.astype(g.dtype)) * grad_clip_norm),
+          grads)
+
     def step(params, opt, gd, images, t, noise):
       if strategy == "zero3":
         full = gather_params(params)
@@ -127,6 +157,8 @@ def make_explicit_update_fn(model, tx, mesh, *, strategy="dp", channels=3,
                                       channels))(params)
         grads = jax.tree.map(lambda g: jax.lax.pmean(g, batch_axes), grads)
       loss = jax.lax.pmean(loss, all_axes)
+      if grad_clip_norm is not None:
+        grads = clip_global(grads, shard_dims)
       updates, opt = tx.update(grads, opt, params)
       params = optax.apply_updates(params, updates)
       return params, opt, loss

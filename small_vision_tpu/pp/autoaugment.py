@@ -78,21 +78,26 @@ def _shear_y(im, level, rng):
                       fillcolor=_REPLACE)
 
 
-def _translate_x(im, level, rng):
-  # EfficientNet randaug uses pixel translate scaled to 100 at max level.
-  v = _rand_negate(rng, _mag(level, 100.0)) * im.size[0] / 331.0
+def _translate_x(im, level, rng, translate_const=100.0):
+  # Pixel translate scaled to `translate_const` at max level, relative to the
+  # reference's 331px EfficientNet resolution. RandAugment uses 100
+  # (reference autoaugment.py:674), AutoAugment policies use 250
+  # (reference autoaugment.py:657).
+  v = _rand_negate(rng, _mag(level, translate_const)) * im.size[0] / 331.0
   return im.transform(im.size, Image.AFFINE, (1, 0, v, 0, 1, 0),
                       fillcolor=_REPLACE)
 
 
-def _translate_y(im, level, rng):
-  v = _rand_negate(rng, _mag(level, 100.0)) * im.size[1] / 331.0
+def _translate_y(im, level, rng, translate_const=100.0):
+  v = _rand_negate(rng, _mag(level, translate_const)) * im.size[1] / 331.0
   return im.transform(im.size, Image.AFFINE, (1, 0, 0, 0, 1, v),
                       fillcolor=_REPLACE)
 
 
-def _cutout(im, level, rng):
-  size = int(_mag(level, 40)) * im.size[0] // 331
+def _cutout(im, level, rng, cutout_const=40):
+  # cutout_const: 40 for randaug, 100 for AutoAugment (reference
+  # autoaugment.py:657,674).
+  size = int(_mag(level, cutout_const)) * im.size[0] // 331
   if size <= 0:
     return im
   arr = np.array(im)
@@ -204,9 +209,16 @@ def distort_image_with_autoaugment(image: np.ndarray, policy_name: str,
   policy = AVAILABLE_POLICIES[policy_name]
   sub = policy[int(rng.integers(0, len(policy)))]
   im = Image.fromarray(np.asarray(image, np.uint8))
+  # AutoAugment hparams: translate_const=250, cutout_const=100 (reference
+  # autoaugment.py:657) — stronger than randaug's 100/40 defaults.
+  hparams = {
+      "TranslateX": {"translate_const": 250.0},
+      "TranslateY": {"translate_const": 250.0},
+      "Cutout": {"cutout_const": 100},
+  }
   for name, prob, magnitude in sub:
     if rng.random() < prob:
-      im = NAME_TO_FUNC[name](im, float(magnitude), rng)
+      im = NAME_TO_FUNC[name](im, float(magnitude), rng, **hparams.get(name, {}))
   return np.asarray(im.convert("RGB"))
 
 

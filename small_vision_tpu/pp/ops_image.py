@@ -207,6 +207,17 @@ def get_decode_jpeg_and_inception_crop(size=None, area_min: int = 5,
   crop before any color conversion/resize work."""
   size = maybe_repeat(size, 2) if size else None
 
+  def _pil_fallback(raw, rng):
+    """PIL decode+crop(+resize). Shared by `_op` and `_batch` so the rng
+    draw sequence for corrupt files is identical on both paths."""
+    with Image.open(io.BytesIO(raw)) as im:
+      w, h = im.size
+      y0, x0, ch, cw = _sample_inception_box(rng, h, w, area_min, area_max)
+      img = np.asarray(im.convert("RGB").crop((x0, y0, x0 + cw, y0 + ch)))
+      if size is not None:
+        img = _resize_np(img, size, method)
+      return img
+
   def _op(image, data):
     rng = _rng_of(data)
     if isinstance(image, np.ndarray) and image.dtype == np.uint8:
@@ -228,13 +239,7 @@ def get_decode_jpeg_and_inception_crop(size=None, area_min: int = 5,
               seed=int(rng.integers(0, 2**63)))
         except ValueError:
           pass  # Corrupt/exotic file: fall through to PIL.
-    with Image.open(io.BytesIO(raw)) as im:
-      w, h = im.size
-      y0, x0, ch, cw = _sample_inception_box(rng, h, w, area_min, area_max)
-      img = np.asarray(im.convert("RGB").crop((x0, y0, x0 + cw, y0 + ch)))
-      if size is not None:
-        img = _resize_np(img, size, method)
-      return img
+    return _pil_fallback(raw, rng)
 
   def _batch(images, datas):
     """Whole-chunk fast path: ONE native call decodes the batch with the
@@ -261,8 +266,11 @@ def get_decode_jpeg_and_inception_crop(size=None, area_min: int = 5,
       for j, i in enumerate(idxs):
         if rcs[j] == 0:
           outs[i] = arr[j]
-        else:  # corrupt/exotic file: per-image PIL fallback
-          outs[i] = _op(raws[j], datas[i])
+        else:
+          # Corrupt/exotic file: PIL fallback with the SAME rng state the
+          # per-image path reaches it in (one seed draw already consumed
+          # above) — no retry of the native decoder, no extra seed draw.
+          outs[i] = _pil_fallback(raws[j], _rng_of(datas[i]))
     return outs
 
   _op.batch = _batch

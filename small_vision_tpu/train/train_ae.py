@@ -74,6 +74,7 @@ def make_update_fn(model, tx, config, device_pp, mesh,
   # the trainer compiles TWO variants and runs the heavy one only on log
   # steps (`update_fn.with_l2`); `l2_metrics=False` disables them entirely.
   l2_metrics = bool(config.get("l2_metrics", True))
+  inject_draws = bool(config.get("_inject_draws", False))  # test-only hook
   repl = parallel.replicated_sharding(mesh)
 
   def update_fn_impl(train_state, batch, with_l2):
@@ -97,12 +98,24 @@ def make_update_fn(model, tx, config, device_pp, mesh,
     x0_clean = images[n_noise:]
     labels_t = batch["label"][:n_noise] if use_labels else None
 
-    (rng, t_rng, noise_rng, rng_mae, cfg_mae, mae_mae,
-     rng_dit, mae_dit, cfg_dit) = jax.random.split(rng, 9)
+    if inject_draws:
+      # Differential-test hook (`config._inject_draws`): consume the step's
+      # randomness from the batch instead of the train-state rng stream, so
+      # a trajectory can be driven bitwise against the reference update_fn
+      # (trainers/train_ae.py:302-325) with identical t/noise/mask draws.
+      batched_t = batch["_t"]
+      noise = batch["_noise"]
+      rng_mae, cfg_mae, mae_mae = (
+          batch["_rng_mae"], batch["_cfg_mae"], batch["_mae_mae"])
+      rng_dit, mae_dit, cfg_dit = (
+          batch["_rng_dit"], batch["_mae_dit"], batch["_cfg_dit"])
+    else:
+      (rng, t_rng, noise_rng, rng_mae, cfg_mae, mae_mae,
+       rng_dit, mae_dit, cfg_dit) = jax.random.split(rng, 9)
 
-    batched_t = jax.random.randint(
-        t_rng, (n_noise,), 0, gd.num_timesteps, jnp.int32)
-    noise = jax.random.normal(noise_rng, x0_noise.shape, jnp.float32)
+      batched_t = jax.random.randint(
+          t_rng, (n_noise,), 0, gd.num_timesteps, jnp.int32)
+      noise = jax.random.normal(noise_rng, x0_noise.shape, jnp.float32)
     x_t = gd_lib.q_sample(gd, x0_noise, batched_t, noise)
 
     def mae_branch_loss(pred, out):

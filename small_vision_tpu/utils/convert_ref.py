@@ -10,16 +10,16 @@ define the same UMD architecture with diverged param names/layouts:
   MultiHeadDotProductAttention_0             MultiHeadAttention_0
   image_mask_embedding                       mask_token
   label_emb/                                 label_embed/
-  final_conv (ConvTranspose k=(p,p,W,2c))    head (Dense (W, p*p*2c))
+  final_conv (ConvTranspose k=(p,p,W,2c))    head (Dense (W, p*p*2c), no bias)
+  final_conv/bias (2c,)                      head_bias (2c, per-channel)
 
-The final_conv<->head mapping is exact: a stride-p VALID ConvTranspose whose
-kernel equals the patch size computes out[gp+i, gq+j, c] = sum_d x[g,h,d] *
-K[i,j,d,c] + b[c], which is the Dense-unpatchify with
-W[d, (i*p+j)*C + c] = K[i,j,d,c] (models/ae.py decode rearranges
-'(ph pw c)') and the bias tiled p*p times. The reverse direction is exact
-only when the Dense bias is position-tied (true for converted checkpoints;
-training in this framework may untie it — we then use the per-position mean
-and report the deviation).
+The final_conv<->head mapping is exact BOTH ways: a stride-p VALID
+ConvTranspose whose kernel equals the patch size computes
+out[gp+i, gq+j, c] = sum_d x[g,h,d] * K[i,j,d,c] + b[c], which is the
+Dense-unpatchify with W[d, (i*p+j)*C + c] = K[i,j,d,c] (models/ae.py decode
+rearranges '(ph pw c)'). The bias is per-channel on both sides (the model
+ties it across patch positions precisely so conversion and training
+dynamics match the reference — see models/ae.py head_bias).
 """
 
 from typing import Tuple
@@ -61,43 +61,26 @@ def _rename(path: str, mapping, scan_from: str, scan_to: str) -> str:
   return "/".join(parts)
 
 
-def head_from_final_conv(kernel: np.ndarray, bias: np.ndarray
-                         ) -> Tuple[np.ndarray, np.ndarray]:
+def head_from_final_conv(kernel: np.ndarray) -> np.ndarray:
   """ConvTranspose (p, p, width, C) kernel -> Dense (width, p*p*C).
 
   flax.linen.ConvTranspose (transpose_kernel=False) spatially FLIPS the
   kernel: output pixel (i, j) of a patch reads K[p-1-i, p-1-j, :, :]
   (verified empirically with one-hot kernels), so the Dense weight for
-  output slot (i, j, c) is the flipped tap.
+  output slot (i, j, c) is the flipped tap. The bias converts as identity
+  (per-channel on both sides).
   """
   p, p2, width, c = kernel.shape
   assert p == p2, kernel.shape
-  w = kernel[::-1, ::-1].transpose(2, 0, 1, 3).reshape(width, p * p * c)
-  b = np.tile(np.asarray(bias), p * p)
-  return w, b
+  return kernel[::-1, ::-1].transpose(2, 0, 1, 3).reshape(width, p * p * c)
 
 
-def final_conv_from_head(kernel: np.ndarray, bias: np.ndarray, patch: int,
-                         atol: float = 0.0
-                         ) -> Tuple[np.ndarray, np.ndarray, float]:
-  """Dense (width, p*p*C) -> ConvTranspose (p, p, width, C).
-
-  Returns (kernel, bias, max_bias_deviation): the Dense bias is per-position;
-  ConvTranspose ties it, so we average over positions and report the max
-  |b_pos - mean| (0 for checkpoints converted from the reference).
-  """
+def final_conv_from_head(kernel: np.ndarray, patch: int) -> np.ndarray:
+  """Dense (width, p*p*C) -> ConvTranspose (p, p, width, C). Exact."""
   width, pc = kernel.shape
   c = pc // (patch * patch)
   k = kernel.reshape(width, patch, patch, c).transpose(1, 2, 0, 3)
-  k = k[::-1, ::-1]  # Undo the ConvTranspose spatial flip (see above).
-  b_pos = np.asarray(bias).reshape(patch * patch, c)
-  b = b_pos.mean(axis=0)
-  dev = float(np.abs(b_pos - b).max()) if b_pos.size else 0.0
-  if atol and dev > atol:
-    raise ValueError(
-        f"Dense head bias is position-untied (max dev {dev:.3e} > {atol}); "
-        "the reference ConvTranspose cannot represent it exactly.")
-  return k, b, dev
+  return k[::-1, ::-1]  # Undo the ConvTranspose spatial flip (see above).
 
 
 def ref_to_ours(ref_params, patch_size: int):
@@ -124,24 +107,26 @@ def ref_to_ours(ref_params, patch_size: int):
     out[new] = leaf
   assert conv_kernel is not None and conv_bias is not None, (
       "reference checkpoint lacks final_conv")
-  w, b = head_from_final_conv(conv_kernel, conv_bias)
-  out["head/kernel"] = w
-  out["head/bias"] = b
+  out["head/kernel"] = head_from_final_conv(conv_kernel)
+  out["head_bias"] = np.asarray(conv_bias)
   return _unflatten(out)
 
 
-def ours_to_ref(params, patch_size: int, bias_atol: float = 0.0):
-  """Converts this framework's param tree back to the reference layout."""
+def ours_to_ref(params, patch_size: int):
+  """Converts this framework's param tree back to the reference layout.
+
+  Exact (lossless) both ways: the head bias is per-channel on both sides.
+  """
   flat = _flatten(_to_pure_dict(params))
   inv = {v: k for k, v in _NAME_MAP_REF_TO_OURS.items()}
   out = {}
   head_kernel = head_bias = None
   for path, leaf in flat.items():
+    if path == "head_bias":
+      head_bias = leaf
+      continue
     if path.startswith("head/"):
-      if path.endswith("kernel"):
-        head_kernel = leaf
-      else:
-        head_bias = leaf
+      head_kernel = leaf
       continue
     new = _rename(path, inv, _SCAN_BLOCK_OURS, _SCAN_BLOCK_REF)
     new = new.replace("MultiHeadAttention_0",
@@ -149,10 +134,8 @@ def ours_to_ref(params, patch_size: int, bias_atol: float = 0.0):
     out[new] = leaf
   assert head_kernel is not None and head_bias is not None, (
       "checkpoint lacks the Dense head")
-  k, b, _ = final_conv_from_head(head_kernel, head_bias, patch_size,
-                                 atol=bias_atol)
-  out["final_conv/kernel"] = k
-  out["final_conv/bias"] = b
+  out["final_conv/kernel"] = final_conv_from_head(head_kernel, patch_size)
+  out["final_conv/bias"] = np.asarray(head_bias)
   return _unflatten(out)
 
 

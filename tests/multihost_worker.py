@@ -1,0 +1,159 @@
+"""Worker for the REAL 2-process multihost test (run via subprocess).
+
+Each process owns 4 virtual CPU devices (XLA_FLAGS set by the parent) and
+joins a jax.distributed job, then exercises the code paths that single-
+process tests can only fast-path (reference parity anchors:
+/root/reference/big_vision/train_tpu.py:31 jax.distributed.initialize,
+input_pipeline.py:133-161 pad+mask eval protocol, utils.py:47-62 metric
+gathering):
+
+  1. per-process train-batch assembly + a real GSPMD train step
+     (`make_array_from_process_local_data` with process_count=2),
+  2. `make_for_inference` mean-evaluation over a RAGGED split (11/10) and
+     an EMPTY-SHARD split (1/0 — the round-2 deadlock regression),
+  3. `process_allgather` / `fetch_global` host collectives,
+  4. a distributed orbax save + restore roundtrip.
+
+Writes a JSON result blob for the parent test to assert on.
+"""
+
+import argparse
+import json
+import sys
+
+
+def main():
+  ap = argparse.ArgumentParser()
+  ap.add_argument("--coordinator", required=True)
+  ap.add_argument("--num_processes", type=int, required=True)
+  ap.add_argument("--process_id", type=int, required=True)
+  ap.add_argument("--workdir", required=True)
+  ap.add_argument("--out", required=True)
+  args = ap.parse_args()
+
+  import jax
+  jax.distributed.initialize(
+      coordinator_address=args.coordinator,
+      num_processes=args.num_processes,
+      process_id=args.process_id)
+  assert jax.process_count() == args.num_processes, (
+      f"distributed init ineffective: process_count={jax.process_count()} "
+      "(jax was likely pre-initialized before this worker started)")
+
+  import jax.numpy as jnp
+  import numpy as np
+  from small_vision_tpu import parallel
+  from small_vision_tpu.data import core as ds_core
+  from small_vision_tpu.data import pipeline
+  from small_vision_tpu.evaluators import mean as mean_eval
+  from small_vision_tpu.parallel.collectives import (fetch_global,
+                                                     process_allgather)
+  from small_vision_tpu.utils import checkpoint as ckpt_lib
+
+  res = {"process_id": args.process_id,
+         "process_count": jax.process_count(),
+         "global_devices": jax.device_count(),
+         "local_devices": jax.local_device_count()}
+  mesh = parallel.make_mesh()
+
+  # ---- 1. training iterator + GSPMD train step --------------------------
+  from small_vision_tpu import optim
+  from small_vision_tpu.train import train_ae
+
+  cfg = dict(no_noise_prob=0.5, mask_ratio=0.375, mask_ratio_no_noise=0.75,
+             use_labels=False, l2_metrics=False, ema_decay=0.99,
+             diffusion_space=(16, 16, 3),
+             model=dict(width=32, depth=1, dec_depth=1, num_heads=4,
+                        img_size=16, patch_size=(8, 8), scan=True,
+                        adaln=True, dtype_mm="float32"))
+  model = train_ae.build_model(cfg)
+  rng = jax.random.PRNGKey(0)
+  rngs = {"params": rng, "dropout": rng, "mae_noise": rng, "cfg": rng}
+
+  def init(r):
+    return model.init({**rngs, "params": r}, jnp.zeros((2, 16, 16, 3)),
+                      t=jnp.zeros((2,), jnp.int32), train=True,
+                      mask=0.75)["params"]
+
+  repl = parallel.replicated_sharding(mesh)
+  params_shape = jax.eval_shape(init, rng)
+  params_sharding = parallel.infer_sharding(params_shape, mesh, "replicated")
+  params = jax.jit(init, out_shardings=params_sharding)(
+      parallel.reshard(rng, repl))
+  tx, _ = optim.adamw_trainer_tx(peak_lr=1e-4, batch_size=16, total_steps=20,
+                                 warmup_steps=2, wd=0.01, mu_dtype="float32")
+  opt_sharding = parallel.infer_sharding(
+      jax.eval_shape(tx.init, params_shape), mesh, "replicated")
+  opt = jax.jit(tx.init, out_shardings=opt_sharding)(params)
+  from small_vision_tpu.ops import diffusion as gd_lib
+  gd = parallel.reshard(gd_lib.GaussianDiffusion.create("cosine", 50), repl)
+  train_state = {"params": params, "opt": opt,
+                 "rng": parallel.reshard(jax.random.PRNGKey(1), repl),
+                 "gd": gd,
+                 "ema_params": jax.tree.map(jnp.copy, params)}
+  sharding_tree = {"params": params_sharding, "opt": opt_sharding,
+                   "rng": repl, "gd": jax.tree.map(lambda _: repl, gd),
+                   "ema_params": params_sharding}
+  update_fn = train_ae.make_update_fn(model, tx, cfg, None, mesh,
+                                      sharding_tree)
+
+  source = ds_core.get("synthetic", img_size=16, num_examples=64,
+                       num_classes=10)
+  it = iter(pipeline.TrainIterator(source, "", mesh, 16, seed=0,
+                                   num_workers=1))
+  losses = []
+  for _ in range(3):
+    batch = next(it)
+    batch = {"image": batch["image"].astype(jnp.float32) / 127.5 - 1.0}
+    train_state, meas = update_fn(train_state, batch)
+    losses.append(float(jax.device_get(meas["training_loss"])))
+  res["train_losses"] = losses
+
+  # ---- 2. mean evaluator: ragged split + empty-shard split --------------
+  def predict(ts, batch):
+    del ts
+    return {"v": jnp.mean(batch["image"].astype(jnp.float32), axis=(1, 2, 3))}
+
+  for tag, n_ex in (("ragged", 21), ("tiny", 1)):
+    ev = mean_eval.Evaluator(
+        predict, mesh=mesh, batch_size=8,
+        data=dict(name="synthetic", img_size=8, num_examples=n_ex,
+                  num_classes=10))
+    out = dict(ev.run(train_state))
+    res[f"mean_{tag}"] = out.get("v")
+    res[f"mean_{tag}_steps"] = ev.n_steps
+
+  # ---- 3. host collectives ---------------------------------------------
+  g = process_allgather(np.asarray([jax.process_index()], np.int32))
+  res["allgather_pids"] = np.asarray(g).ravel().tolist()
+
+  # fetch_global of a batch-sharded global array spanning both processes.
+  bs = parallel.batch_sharding(mesh)
+  local = np.arange(8, dtype=np.float32).reshape(8, 1) + \
+      100 * jax.process_index()
+  garr = jax.make_array_from_process_local_data(bs, local)
+  res["fetch_global"] = fetch_global(garr).ravel().tolist()
+
+  # ---- 4. distributed orbax save/restore --------------------------------
+  mngr = ckpt_lib.make_manager(args.workdir)
+  ckpt_lib.save(mngr, train_state, 3)
+  ckpt_lib.wait_until_finished(mngr)
+  abstract = ckpt_lib.abstract_like(train_state, sharding_tree)
+  mngr2 = ckpt_lib.make_manager(args.workdir)
+  restored = ckpt_lib.restore(mngr2, abstract)
+  assert restored is not None
+  diffs = jax.tree.leaves(jax.tree.map(
+      lambda a, b: float(jnp.max(jnp.abs(
+          a.astype(jnp.float32) - b.astype(jnp.float32)))),
+      train_state["params"], restored["params"]))
+  res["restore_max_diff"] = max(diffs)
+  res["restore_step"] = int(mngr2.latest_step())
+
+  with open(args.out, "w") as f:
+    json.dump(res, f)
+  print("WORKER_OK", args.process_id)
+  return 0
+
+
+if __name__ == "__main__":
+  sys.exit(main())

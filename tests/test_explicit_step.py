@@ -103,6 +103,38 @@ def test_explicit_step_matches_gspmd(mesh_kw, strategy):
     np.testing.assert_allclose(g, w, rtol=2e-4, atol=2e-5)
 
 
+def test_zero3_grad_clip_matches_gspmd_global_norm():
+  """ADVICE r2: clip_by_global_norm inside the zero3 shard_map would use
+  per-shard norms; the `grad_clip_norm` arg psums the norm across 'fsdp'.
+  Pin it against the GSPMD step with optax.clip_by_global_norm in the chain
+  (the production recipe's grad_clip_norm=1.0 path)."""
+  clip = 0.05  # small enough that the clip actually triggers
+  mesh = parallel.make_mesh(fsdp=4)
+  tx_plain = optax.adamw(1e-3)
+  model, _, train_state, batch = _setup(mesh, "zero3", min_shard=1024)
+  make = explicit_step.make_explicit_update_fn(
+      model, tx_plain, mesh, strategy="zero3", channels=3,
+      min_size_to_shard=1024, grad_clip_norm=clip)
+  update = make(train_state, batch)
+  new_state, loss = update(train_state, batch)
+
+  repl_mesh = parallel.make_mesh()
+  model2, _, ts2, batch2 = _setup(repl_mesh, "dp")
+  tx_ref = optax.chain(optax.clip_by_global_norm(clip), optax.adamw(1e-3))
+  ts2["opt"] = tx_ref.init(ts2["params"])
+  ref_state, ref_loss = _gspmd_step(model2, tx_ref, repl_mesh, ts2, batch2)
+
+  np.testing.assert_allclose(float(jax.device_get(loss)),
+                             float(jax.device_get(ref_loss)),
+                             rtol=1e-5, atol=1e-6)
+  got = jax.tree.leaves(jax.tree.map(
+      lambda x: np.asarray(jax.device_get(x)), new_state["params"]))
+  want = jax.tree.leaves(jax.tree.map(
+      lambda x: np.asarray(jax.device_get(x)), ref_state["params"]))
+  for g, w in zip(got, want):
+    np.testing.assert_allclose(g, w, rtol=2e-4, atol=2e-5)
+
+
 def test_zero3_step_emits_explicit_collectives():
   """The compiled zero3 step contains the hand-placed collectives."""
   mesh = parallel.make_mesh(fsdp=8)

@@ -546,3 +546,162 @@ def test_random_masking_matches_reference_bitwise():
   ref_img = ref_ae.sequence_mask_to_image_mask(ref_mask, 2, 8)
   my_img = my_m.sequence_mask_to_image_mask(my_mask, 2, 8)
   np.testing.assert_array_equal(np.asarray(my_img), np.asarray(ref_img))
+
+
+# ---------------------------------------------------------------------------
+# (i) 50-step TRAINING TRAJECTORY vs the reference update_fn
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_training_trajectory_matches_reference_50_steps(converted_pair,
+                                                        ref_gd):
+  """Integrated-system differential: 50 update steps of the repo's REAL
+  `make_update_fn` (masking on, EMA on, full bv_optax-equivalent chain)
+  against a faithful transcription of the reference update_fn
+  (trainers/train_ae.py:287-382) driving the REFERENCE model + reference
+  `q_sample` + reference `bv_optax.make` — same converted initial params,
+  identical injected t/noise/mask/model-rng draws each step. Compares the
+  per-step loss curve and the final params/EMA within f32-drift tolerance.
+  """
+  import ml_collections as mlc
+  import optax
+  import big_vision.optax as ref_opt
+  from small_vision_tpu import optim as my_opt
+  from small_vision_tpu import parallel
+  from small_vision_tpu.train import train_ae
+
+  ref_model, my_model, ref_params0, my_params0 = converted_pair
+  N_STEPS, B, T = 50, 8, 50
+  P_NO_NOISE, MASK_DIT, MASK_MAE, EMA = 0.5, 0.375, 0.75, 0.99
+  n_no_noise = int(B * P_NO_NOISE)
+  n_noise = B - n_no_noise
+
+  # The reference trainer ships gd inside train_state as device arrays
+  # (train_ae.py:295); numpy tables would fail tracer-indexing under jit.
+  gd_ref = jax.tree.map(jnp.asarray,
+                        ref_gd.create_gaussian_diffusion("cosine", T))
+  gd_my = my_gd.GaussianDiffusion.create("cosine", T)
+
+  def opt_cfg():
+    c = mlc.ConfigDict()
+    c.lr = 15e-5
+    c.wd = 0.05
+    c.optax_name = "scale_by_adam"
+    c.optax = dict(b2=0.95)
+    c.grad_clip_norm = 1.0
+    c.schedule = dict(decay_type="cosine", warmup_steps=5)
+    return c
+
+  sched_kw = dict(total_steps=N_STEPS, batch_size=B, data_size=B * N_STEPS)
+  tx_ref, _ = ref_opt.make(opt_cfg(), ref_params0, sched_kw=sched_kw)
+  tx_my, _ = my_opt.make(opt_cfg(), my_params0, sched_kw=sched_kw)
+
+  # ---- the repo's real update_fn, with draws injected via the batch ----
+  mesh = parallel.make_mesh()
+  cfg = dict(no_noise_prob=P_NO_NOISE, mask_ratio=MASK_DIT,
+             mask_ratio_no_noise=MASK_MAE, use_labels=False,
+             ema_decay=EMA, l2_metrics=False, _inject_draws=True,
+             diffusion_space=(16, 16, 3))
+  my_state = {"params": jax.tree.map(jnp.copy, my_params0),
+              "opt": tx_my.init(my_params0),
+              "rng": jax.random.PRNGKey(7),
+              "gd": gd_my,
+              "ema_params": jax.tree.map(jnp.copy, my_params0)}
+  sharding = jax.tree.map(
+      lambda _: parallel.replicated_sharding(mesh), my_state)
+  my_update = train_ae.make_update_fn(
+      my_model, tx_my, cfg, None, mesh, sharding)
+
+  # ---- faithful transcription of the reference update_fn ----
+  @jax.jit
+  def ref_update(params, ema, opt, batch, draws):
+    images = batch["image"]
+    x_0_noise = images[:n_noise]
+    x_0_no_noise = images[n_noise:]
+    batched_t = draws["t"][:, None]              # reference uses (n, 1)
+    noise = draws["noise"]
+    x_t_noise = ref_gd.q_sample(gd=gd_ref, x_start=x_0_noise,
+                                t=batched_t, noise=noise)
+
+    def loss_fn(p):
+      pred, out = ref_model.apply(
+          {"params": p}, x_0_no_noise,
+          t=jnp.zeros((n_no_noise, 1), jnp.int32),
+          train=True, mask=MASK_MAE,
+          rngs={"dropout": draws["rng_mae"], "cfg": draws["cfg_mae"],
+                "mae_noise": draws["mae_mae"]})
+      pred_x0 = pred[..., :3]
+      x0_se = (pred_x0 - x_0_no_noise) ** 2
+      mae_loss = jnp.mean(x0_se * out["mask"]) / jnp.mean(out["mask"])
+
+      pred, out = ref_model.apply(
+          {"params": p}, x_t_noise, t=batched_t + 1,
+          train=True, mask=MASK_DIT,
+          rngs={"dropout": draws["rng_dit"], "cfg": draws["cfg_dit"],
+                "mae_noise": draws["mae_dit"]})
+      pred_x0 = pred[..., :3]
+      pred_eps = pred[..., 3:]
+      x0_se = (pred_x0 - x_0_noise) ** 2
+      eps_se = (pred_eps - noise) ** 2
+      eps_loss = (jnp.mean(eps_se * (1 - out["mask"]))
+                  / jnp.mean(1 - out["mask"]))
+      x0_loss = jnp.mean(x0_se * out["mask"]) / jnp.mean(out["mask"])
+      dit_loss = (eps_loss + x0_loss) / 2
+      return (dit_loss * (1 - n_no_noise / B)
+              + mae_loss * (n_no_noise / B))
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt = tx_ref.update(grads, opt, params)
+    params = optax.apply_updates(params, updates)
+    ema = optax.incremental_update(params, ema, EMA)
+    return params, ema, opt, loss
+
+  ref_p = jax.tree.map(jnp.copy, ref_params0)
+  ref_ema = jax.tree.map(jnp.copy, ref_params0)
+  ref_o = tx_ref.init(ref_params0)
+
+  data_rng = np.random.default_rng(123)
+  base = jax.random.PRNGKey(999)
+  losses_my, losses_ref = [], []
+  for step in range(N_STEPS):
+    images = jnp.asarray(
+        data_rng.normal(size=(B, 16, 16, 3)) * 0.5, jnp.float32)
+    k = jax.random.fold_in(base, step)
+    kt, kn, k1, k2, k3, k4, k5, k6 = jax.random.split(k, 8)
+    draws = {
+        "t": jax.random.randint(kt, (n_noise,), 0, T, jnp.int32),
+        "noise": jax.random.normal(kn, (n_noise, 16, 16, 3), jnp.float32),
+        "rng_mae": k1, "cfg_mae": k2, "mae_mae": k3,
+        "rng_dit": k4, "mae_dit": k5, "cfg_dit": k6,
+    }
+    batch = {"image": images,
+             "_t": draws["t"], "_noise": draws["noise"],
+             "_rng_mae": k1, "_cfg_mae": k2, "_mae_mae": k3,
+             "_rng_dit": k4, "_mae_dit": k5, "_cfg_dit": k6}
+    my_state, meas = my_update(my_state, batch)
+    ref_p, ref_ema, ref_o, ref_loss = ref_update(
+        ref_p, ref_ema, ref_o, {"image": images}, draws)
+    losses_my.append(float(meas["training_loss"]))
+    losses_ref.append(float(ref_loss))
+
+  losses_my = np.asarray(losses_my)
+  losses_ref = np.asarray(losses_ref)
+  # Loss curves track step by step...
+  np.testing.assert_allclose(losses_my, losses_ref, rtol=2e-3, atol=2e-4)
+  # ...and both actually trained (curve moved).
+  assert losses_ref[-5:].mean() < losses_ref[:5].mean()
+
+  # Final params/EMA within f32 drift (per-apply parity is ~2e-5; adam
+  # normalization amplifies, bounded by lr * steps).
+  from small_vision_tpu.utils import convert_ref
+  final_ref_as_my = convert_ref.ref_to_ours(ref_p, patch_size=4)
+  final_ema_as_my = convert_ref.ref_to_ours(ref_ema, patch_size=4)
+  for mine, ref, tag in ((my_state["params"], final_ref_as_my, "params"),
+                         (my_state["ema_params"], final_ema_as_my, "ema")):
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(mine),
+        jax.tree_util.tree_leaves_with_path(ref)):
+      np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), rtol=0, atol=2e-4,
+          err_msg=f"{tag}:{jax.tree_util.keystr(kp)}")
