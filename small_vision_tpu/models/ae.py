@@ -50,6 +50,7 @@ class _ViTAE(nn.Module):
   cfg_dropout_rate: float = 0.1
   num_cls: int = 4
   attn_impl: str = "xla"
+  quant: str = "none"  # "int8_mlp": dynamic int8 MLP matmuls (ops/quant.py)
   no_decay_list: Sequence[str] = ("cls", "mask_token", "bias")
 
   def setup(self):
@@ -83,7 +84,8 @@ class _ViTAE(nn.Module):
         num_heads=self.num_heads, mlp_dim=self.mlp_dim,
         dropout=self.dropout, scan=self.scan,
         remat_policy=self.remat_policy, dtype_mm=self.dtype_mm,
-        adaln=self.adaln, attn_impl=self.attn_impl)
+        adaln=self.adaln, attn_impl=self.attn_impl,
+        quant="int8" if self.quant == "int8_mlp" else "none")
     self.encoder = Encoder(depth=self.depth, name="Encoder", **enc_dec_kw)
     self.decoder = Encoder(depth=self.dec_depth, name="Decoder", **enc_dec_kw)
 

@@ -110,11 +110,22 @@ class MlpBlock(nn.Module):
   dropout: float = 0.0
   dtype_mm: str = "bfloat16"
   fused: str = "none"  # "none" | "pallas" | "interpret"
+  quant: str = "none"  # "none" | "int8" (dynamic int8 fwd, see ops/quant.py)
 
   @nn.compact
   def __call__(self, x, deterministic=True):
     d = x.shape[-1]
     dh = self.mlp_dim or 4 * d
+    if self.quant == "int8":
+      # Experimental int8 path: both matmuls on the int8 MXU (2x bf16
+      # throughput), params/bias handling identical to the Dense path.
+      from small_vision_tpu.ops.quant import int8_dot
+      w1, b1 = _DenseParams(d, dh, self.dtype_mm, name="Dense_0")()
+      w2, b2 = _DenseParams(dh, d, self.dtype_mm, name="Dense_1")()
+      x = x.astype(self.dtype_mm)
+      h = nn.gelu(int8_dot(x, w1) + b1)
+      h = nn.Dropout(rate=self.dropout)(h, deterministic)
+      return int8_dot(h.astype(self.dtype_mm), w2) + b2
     use_fused = self.fused in ("pallas", "interpret") and (
         self.dropout == 0.0) and (
         self.fused == "interpret"
@@ -275,6 +286,7 @@ class Block(nn.Module):
   adaln: bool = False
   dtype_mm: str = "bfloat16"
   attn_impl: str = "xla"
+  quant: str = "none"
 
   @nn.compact
   def __call__(self, x, cond=None, deterministic=True):
@@ -313,7 +325,8 @@ class Block(nn.Module):
     mlp_fused = ("none" if not self.attn_impl.startswith("pallas_fused")
                  else ("interpret" if interp else "pallas"))
     y = MlpBlock(mlp_dim=self.mlp_dim, dropout=self.dropout,
-                 dtype_mm=self.dtype_mm, fused=mlp_fused)(y, deterministic)
+                 dtype_mm=self.dtype_mm, fused=mlp_fused,
+                 quant=self.quant)(y, deterministic)
     # Named for remat: "save_attn_mlp" keeps this (B, L, D) tensor so the
     # backward recompute stops at the down-projection instead of re-running
     # the (B, L, 4D) up-projection + gelu.
@@ -342,12 +355,14 @@ class Encoder(nn.Module):
   remat_policy: str = "nothing_saveable"
   dtype_mm: str = "bfloat16"
   attn_impl: str = "xla"
+  quant: str = "none"
 
   @nn.compact
   def __call__(self, x, cond=None, deterministic=True):
     kw = dict(mlp_dim=self.mlp_dim, num_heads=self.num_heads,
               dropout=self.dropout, adaln=self.adaln,
-              dtype_mm=self.dtype_mm, attn_impl=self.attn_impl)
+              dtype_mm=self.dtype_mm, attn_impl=self.attn_impl,
+              quant=self.quant)
 
     def remat_block(prevent_cse):
       if self.remat_policy == "save_attn":

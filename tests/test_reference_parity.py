@@ -705,3 +705,60 @@ def test_training_trajectory_matches_reference_50_steps(converted_pair,
       np.testing.assert_allclose(
           np.asarray(a), np.asarray(b), rtol=0, atol=2e-4,
           err_msg=f"{tag}:{jax.tree_util.keystr(kp)}")
+
+
+# ---------------------------------------------------------------------------
+# (j) JPEG decode pixels vs TF INTEGER_ACCURATE (the FID-parity hard part)
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_corpus():
+  """JPEGs at several quality factors / sizes / content types."""
+  import io as iolib
+  from PIL import Image
+  rng = np.random.default_rng(7)
+  corpus = []
+  for q in (50, 75, 90, 95):
+    for shape in ((64, 64), (97, 123)):  # odd dims exercise MCU edges
+      noise = rng.integers(0, 256, shape + (3,), dtype=np.uint8)
+      yy, xx = np.mgrid[:shape[0], :shape[1]]
+      smooth = np.stack([(yy * 255 / shape[0]), (xx * 255 / shape[1]),
+                         ((yy + xx) % 256)], -1).astype(np.uint8)
+      for img in (noise, smooth):
+        buf = iolib.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG", quality=q)
+        corpus.append((f"q{q}_{shape[0]}x{shape[1]}", buf.getvalue()))
+  return corpus
+
+
+def test_jpeg_decode_pixels_match_tf_integer_accurate():
+  """The reference decodes with tf.io.decode_jpeg(dct_method=
+  "INTEGER_ACCURATE") (reference pp/ops_image.py:48-49) = libjpeg JDCT_ISLOW.
+  Both our decode paths — the native C++ loader and the PIL fallback — must
+  produce the same pixels within a 1-level tolerance (identical IDCT, but
+  potentially different libjpeg builds), else FID features drift.
+
+  Measured on this corpus (PARITY.md): native and PIL are BITWISE equal to
+  TF across every quality/size/content combination.
+  """
+  import io as iolib
+  import tensorflow as tf
+  from PIL import Image
+  from small_vision_tpu.data import native_jpeg
+
+  have_native = native_jpeg.available()
+  worst = {}
+  for name, raw in _jpeg_corpus():
+    want = tf.io.decode_jpeg(raw, channels=3,
+                             dct_method="INTEGER_ACCURATE").numpy()
+    got_pil = np.asarray(Image.open(iolib.BytesIO(raw)).convert("RGB"))
+    d_pil = int(np.abs(got_pil.astype(int) - want.astype(int)).max())
+    worst[f"pil:{name}"] = d_pil
+    assert d_pil <= 1, (name, d_pil)
+    if have_native:
+      got_nat = native_jpeg.decode(raw)
+      d_nat = int(np.abs(got_nat.astype(int) - want.astype(int)).max())
+      worst[f"native:{name}"] = d_nat
+      assert d_nat <= 1, (name, d_nat)
+      np.testing.assert_array_equal(got_nat, got_pil, err_msg=name)
+  assert max(worst.values()) <= 1, worst
