@@ -70,6 +70,8 @@ def _build_step(mode: str, batch_size: int, attn_impl: str = "xla"):
   # steady state: reference mode times the l2 variant, native the plain
   # one. SV_BENCH_L2=1 forces the l2 variant into the native mode too.
   config.l2_metrics = (not native) or os.environ.get("SV_BENCH_L2") == "1"
+  if native and os.environ.get("SV_BENCH_QUANT"):
+    config.model.quant = os.environ["SV_BENCH_QUANT"]
 
   mesh = parallel.make_mesh()
   model = train_ae.build_model(config)
@@ -170,7 +172,9 @@ def _spread_pct(rates):
   return 100.0 * (max(rates) - min(rates)) / med if med else 0.0
 
 
-def _time_sampler(batch_size=64, sampling_steps=125):
+def _time_sampler(batch_size=None, sampling_steps=125):
+  if batch_size is None:
+    batch_size = int(os.environ.get("SV_BENCH_SAMPLER_BS", 64))
   """125-step DDIM sampler imgs/sec (the FID-10k path)."""
   from small_vision_tpu.ops import diffusion as gd_lib
   from small_vision_tpu.train import train_ae
@@ -189,6 +193,8 @@ def _time_sampler(batch_size=64, sampling_steps=125):
   config.model = dict(variant="B/4", img_size=64, scan=True, adaln=True,
                       dtype_mm="bfloat16",
                       attn_impl=os.environ.get("SV_BENCH_ATTN", "pallas"))
+  if os.environ.get("SV_BENCH_QUANT"):
+    config.model.quant = os.environ["SV_BENCH_QUANT"]
 
   model = train_ae.build_model(config)
   rng = jax.random.PRNGKey(0)
@@ -212,6 +218,17 @@ def _time_sampler(batch_size=64, sampling_steps=125):
 
 
 def main():
+  if os.environ.get("SV_BENCH_TRAIN") == "0":
+    # Sampler-only mode for inference A/B experiments.
+    rates = _time_sampler()
+    print(json.dumps({
+        "metric": "sampler imgs/sec (125-step DDIM, bs64)",
+        "value": round(float(np.median(rates)), 3),
+        "unit": "imgs/sec", "vs_baseline": 1.0,
+        "spread_pct": round(_spread_pct(rates), 2),
+        "attn_impl": os.environ.get("SV_BENCH_ATTN", "pallas"),
+        "quant": os.environ.get("SV_BENCH_QUANT", "none")}))
+    return
   batch = int(os.environ.get("SV_BENCH_BATCH", 256))
   steps = int(os.environ.get("SV_BENCH_STEPS", 20))
   windows = int(os.environ.get("SV_BENCH_WINDOWS", 3))

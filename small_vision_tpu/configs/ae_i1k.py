@@ -30,7 +30,9 @@ def get_config(arg=None):
       mask_ratio_no_noise=0.75, finetune=False, lr=15e-5, wd=5e-2,
       beta2=0.95, size=64, adaln=True, epochs=800, area_min=80,
       use_preprocessed_latents=False, latent_diffusion=False, save_ckpt=True,
-      data="imagenet2012", attn_impl="pallas", runlocal=False, heads=0)
+      data="imagenet2012", attn_impl="pallas", runlocal=False, heads=0,
+      ckpt_steps=0, log_steps=0,  # 0 = keep the defaults (5000 / 100)
+      quant="")  # "int8_mlp": dynamic int8 MLP matmuls (ops/quant.py)
 
   config = mlc.ConfigDict()
   config.finetune = arg.finetune
@@ -89,8 +91,8 @@ def get_config(arg=None):
   config.input.num_workers = 16
   config.input.prefetch_to_device = 4
 
-  config.log_training_steps = 100
-  config.ckpt_steps = 5000
+  config.log_training_steps = arg.log_steps or 100
+  config.ckpt_steps = arg.ckpt_steps or 5000
   config.save_ckpt = arg.save_ckpt
 
   config.model_name = "ae"
@@ -104,6 +106,8 @@ def get_config(arg=None):
       remat_policy="nothing_saveable",
       attn_impl=arg.attn_impl,
       dtype_mm="bfloat16")
+  if arg.quant:
+    config.model["quant"] = arg.quant
   if arg.heads:
     # TPU speed knob: heads=6 at width 768 → head_dim 128 feeds the full
     # 128-lane MXU contraction in the attention dots (measured +13%

@@ -50,7 +50,9 @@ class _ViTAE(nn.Module):
   cfg_dropout_rate: float = 0.1
   num_cls: int = 4
   attn_impl: str = "xla"
-  quant: str = "none"  # "int8_mlp": dynamic int8 MLP matmuls (ops/quant.py)
+  # "int8_mlp": dynamic int8 MLP matmuls; "int8_all": + q/k/v/out
+  # projections (ops/quant.py). Attention core stays bf16 either way.
+  quant: str = "none"
   no_decay_list: Sequence[str] = ("cls", "mask_token", "bias")
 
   def setup(self):
@@ -85,7 +87,8 @@ class _ViTAE(nn.Module):
         dropout=self.dropout, scan=self.scan,
         remat_policy=self.remat_policy, dtype_mm=self.dtype_mm,
         adaln=self.adaln, attn_impl=self.attn_impl,
-        quant="int8" if self.quant == "int8_mlp" else "none")
+        quant={"int8_mlp": "int8", "int8_all": "int8_all",
+               "none": "none", "": "none"}[self.quant])
     self.encoder = Encoder(depth=self.depth, name="Encoder", **enc_dec_kw)
     self.decoder = Encoder(depth=self.dec_depth, name="Decoder", **enc_dec_kw)
 

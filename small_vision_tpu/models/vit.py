@@ -116,7 +116,7 @@ class MlpBlock(nn.Module):
   def __call__(self, x, deterministic=True):
     d = x.shape[-1]
     dh = self.mlp_dim or 4 * d
-    if self.quant == "int8":
+    if self.quant in ("int8", "int8_all"):
       # Experimental int8 path: both matmuls on the int8 MXU (2x bf16
       # throughput), params/bias handling identical to the Dense path.
       from small_vision_tpu.ops.quant import int8_dot
@@ -159,6 +159,7 @@ class _PackedProj(nn.Module):
   """
   features: Sequence[int]  # (num_heads, head_dim); kernel is (d, H, D)
   dtype_mm: str = "bfloat16"
+  quant: str = "none"
 
   @nn.compact
   def __call__(self, x, return_params=False):
@@ -177,8 +178,12 @@ class _PackedProj(nn.Module):
       # caller's Pallas kernel; x is only consulted for its input width.
       return (kernel.reshape(d_in, flat_out).astype(self.dtype_mm),
               bias.reshape(flat_out).astype(self.dtype_mm))
-    y = jnp.dot(x.astype(self.dtype_mm),
-                kernel.reshape(d_in, flat_out).astype(self.dtype_mm))
+    w2 = kernel.reshape(d_in, flat_out).astype(self.dtype_mm)
+    if self.quant == "int8":
+      from small_vision_tpu.ops.quant import int8_dot
+      y = int8_dot(x.astype(self.dtype_mm), w2)
+    else:
+      y = jnp.dot(x.astype(self.dtype_mm), w2)
     return y + bias.reshape(flat_out).astype(self.dtype_mm)
 
 
@@ -188,6 +193,7 @@ class _PackedOutProj(nn.Module):
   head_dim: int
   features: int
   dtype_mm: str = "bfloat16"
+  quant: str = "none"
 
   @nn.compact
   def __call__(self, o, return_params=False):  # o: (B, L, H*D)
@@ -202,8 +208,12 @@ class _PackedOutProj(nn.Module):
     if return_params:
       return (kernel.reshape(h * hd, d).astype(self.dtype_mm),
               bias.astype(self.dtype_mm))
-    y = jnp.dot(o.astype(self.dtype_mm),
-                kernel.reshape(h * hd, d).astype(self.dtype_mm))
+    w2 = kernel.reshape(h * hd, d).astype(self.dtype_mm)
+    if self.quant == "int8":
+      from small_vision_tpu.ops.quant import int8_dot
+      y = int8_dot(o.astype(self.dtype_mm), w2)
+    else:
+      y = jnp.dot(o.astype(self.dtype_mm), w2)
     return y + bias.astype(self.dtype_mm)
 
 
@@ -219,6 +229,7 @@ class MultiHeadAttention(nn.Module):
   # "xla" | "flax" | "pallas" | "pallas_interpret" | "pallas_fused"
   # | "pallas_fused_interpret"
   attn_impl: str = "xla"
+  quant: str = "none"  # "int8": quantized q/k/v/out projections
 
   @nn.compact
   def __call__(self, x):
@@ -240,10 +251,10 @@ class MultiHeadAttention(nn.Module):
       return mha(x, x)
     proj = lambda name: _PackedProj(
         features=(self.num_heads, head_dim), name=name,
-        dtype_mm=self.dtype_mm)
+        dtype_mm=self.dtype_mm, quant=self.quant)
     out_proj = _PackedOutProj(
         num_heads=self.num_heads, head_dim=head_dim, features=d,
-        name="out", dtype_mm=self.dtype_mm)
+        name="out", dtype_mm=self.dtype_mm, quant=self.quant)
     interp = self.attn_impl.endswith("interpret")
 
     if self.attn_impl.startswith("pallas_fused") and (
@@ -312,7 +323,9 @@ class Block(nn.Module):
         x, shift_a if use_adaln else None,
         scale_a if use_adaln else None).astype(self.dtype_mm)
     y = MultiHeadAttention(num_heads=self.num_heads, dtype_mm=self.dtype_mm,
-                           attn_impl=self.attn_impl)(y)
+                           attn_impl=self.attn_impl,
+                           quant="int8" if self.quant == "int8_all"
+                           else "none")(y)
     if use_adaln:
       y = gate_a[:, None, :] * y
     y = constrain(y, "batch", None, "embed")
