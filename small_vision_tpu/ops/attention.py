@@ -11,6 +11,7 @@ float32 regardless of input dtype (bf16-safe).
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -23,8 +24,12 @@ def _round_up(x, m):
   return ((x + m - 1) // m) * m
 
 
-def _block_dims(b, h, lp, dp, n_io_blocks, n_score_bufs,
-                budget=11 * 2**20):
+# Softmax stability clamp, in log2 units (see _attn_kernel_packed): ±80 ⇒
+# exp2 spans 1e±24, safely inside f32/bf16 range even after a 272-term sum.
+_CLAMP = np.float32(80.0)
+
+
+def _block_dims(b, h, lp, dp, n_io_blocks, n_score_bufs, budget=None):
   """Picks (batch_rows, heads) per block to fit VMEM while keeping DMAs fat.
 
   Mosaic's stack allocator does NOT reuse buffers across unrolled loop
@@ -35,6 +40,10 @@ def _block_dims(b, h, lp, dp, n_io_blocks, n_score_bufs,
   kernels at ~1/8 of HBM bandwidth), so maximize it under the budget,
   preferring more batch rows.
   """
+  if budget is None:
+    # 11 MB default leaves slack under the ~16 MB/core VMEM for Mosaic's own
+    # temporaries; SV_ATTN_VMEM_MB is the measured-experiment override.
+    budget = int(float(os.environ.get("SV_ATTN_VMEM_MB", "11")) * 2**20)
   best = (1, 1)
   for bb in (8, 4, 2, 1):
     if b % bb:
@@ -249,8 +258,17 @@ def _pallas_attention_bwd_impl(q, k, v, do, interpret=False):
 def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len,
                         bb, num_heads, head_dim):
   lp = q_ref.shape[1]
+  # VPU-lean softmax (measured in scripts/ablate_attention_kernel.py):
+  #  - exp(x) = exp2(x·log2 e): log2e folds into the score scale, saving a
+  #    multiply inside every transcendental;
+  #  - the key mask is applied by a 0/1 MULTIPLY after the exp instead of a
+  #    where(-inf) pass before it. Padded-key scores are exactly 0 (k rows
+  #    zeroed at the source below), so m = max over ALL columns ≥ max over
+  #    real ones — still a valid stability shift, and masked e-terms
+  #    (≤ exp2(0−m) ≤ 1) are finite before the multiply kills them.
   key_pos = jax.lax.broadcasted_iota(jnp.int32, (1, lp), dimension=1)
-  key_mask = key_pos < seq_len
+  key_maskf = (key_pos < seq_len).astype(jnp.float32)
+  scale2 = scale * np.float32(np.log2(np.e))
   # Unpadded inputs: rows past seq_len are garbage HBM reads and may hold
   # NaN/Inf bit patterns, which survive 0-multiplication inside dots — zero
   # them at the source (select, not multiply).
@@ -269,14 +287,23 @@ def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, scale, seq_len,
       v = v_all[i, :, sl]
       scores = jax.lax.dot_general(
           q, k, (((1,), (1,)), ((), ())),
-          preferred_element_type=jnp.float32) * scale
-      scores = jnp.where(key_mask, scores, -jnp.inf)
-      m = jnp.max(scores, axis=-1, keepdims=True)
-      e = jnp.exp(scores - m)
-      probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q_all.dtype)
-      head_outs.append(jax.lax.dot_general(
-          probs, v, (((1,), (0,)), ((), ())),
-          preferred_element_type=jnp.float32).astype(o_ref.dtype))
+          preferred_element_type=jnp.float32) * scale2
+      # Clamp replaces the classic max-subtraction stabilizer: for any row
+      # whose logits stay in ±_CLAMP (raw logits ±55 — far beyond trained
+      # attention), exp2 of the UNSHIFTED scores is exact in f32
+      # (exp2(±80) ≈ 1e±24, and a 272-term sum stays ≪ f32 max), so the
+      # softmax is bit-comparable while the (L,L) max-reduce pass and its
+      # broadcast subtract disappear. Out-of-range logits clamp, degrading
+      # gracefully toward uniform-over-clamped instead of overflowing.
+      e = jnp.exp2(jnp.clip(scores, -_CLAMP, _CLAMP)) * key_maskf
+      # Fold the 1/sum normalization OUT of the (L,L) matrix into a row
+      # scaling of the (L,D) output: o = (e·V)/s. Replaces lp² divides
+      # (slow multi-cycle VPU op) with lp reciprocals + lp·D multiplies.
+      s = jnp.sum(e, axis=-1, keepdims=True)
+      o = jax.lax.dot_general(
+          e.astype(q_all.dtype), v, (((1,), (0,)), ((), ())),
+          preferred_element_type=jnp.float32)
+      head_outs.append((o / s).astype(o_ref.dtype))
     outs.append(jnp.concatenate(head_outs, axis=-1))
   o_ref[...] = jnp.stack(outs, axis=0).reshape(o_ref.shape)
 
@@ -317,14 +344,17 @@ def _attn_bwd_kernel_packed(q_ref, k_ref, v_ref, do_ref,
                             dq_ref, dk_ref, dv_ref, *, scale, seq_len,
                             bb, num_heads, head_dim):
   lp = q_ref.shape[1]
+  # Same VPU-lean softmax recompute as the forward kernel (exp2 with folded
+  # log2e, multiply-mask after the exp) — see _attn_kernel_packed.
   key_pos = jax.lax.broadcasted_iota(jnp.int32, (1, lp), dimension=1)
-  key_mask = key_pos < seq_len
+  key_maskf = (key_pos < seq_len).astype(jnp.float32)
+  scale2 = scale * np.float32(np.log2(np.e))
   # With unpadded inputs, rows beyond seq_len are GARBAGE HBM reads (possibly
   # NaN/Inf). Zero every input's OOB rows at the source (select, not
   # multiply), AND zero P's garbage query rows so they can't reach the dK/dV
   # sums, which contract over queries.
   row_pos = jax.lax.broadcasted_iota(jnp.int32, (lp, 1), dimension=0)
-  row_mask = row_pos < seq_len
+  row_maskf = (row_pos < seq_len).astype(jnp.float32)
   block_mask = jax.lax.broadcasted_iota(
       jnp.int32, (1, lp, 1), dimension=1) < seq_len
   zero = lambda x: jnp.where(block_mask, x, jnp.zeros((), x.dtype))
@@ -341,23 +371,31 @@ def _attn_bwd_kernel_packed(q_ref, k_ref, v_ref, do_ref,
                      do_all[i, :, sl])
       scores = jax.lax.dot_general(
           q, k, (((1,), (1,)), ((), ())),
-          preferred_element_type=f32) * scale
-      scores = jnp.where(key_mask, scores, -jnp.inf)
-      m = jnp.max(scores, axis=-1, keepdims=True)
-      e = jnp.exp(scores - m)
-      p = e / jnp.sum(e, axis=-1, keepdims=True)
-      p = jnp.where(row_mask, p, 0.0)  # kill garbage query rows
-      pb = p.astype(q_all.dtype)
-      dv = jax.lax.dot_general(pb, do, (((0,), (0,)), ((), ())),
+          preferred_element_type=f32) * scale2
+      # Clamp-stabilized unshifted exp2 — see _attn_kernel_packed for the
+      # range argument (the forward and this recompute MUST use the same
+      # stabilizer so P matches bit-for-bit).
+      e = jnp.exp2(jnp.clip(scores, -_CLAMP, _CLAMP)) * key_maskf
+      # Fold 1/s = 1/rowsum(e) out of every (L,L) matrix into (L,D)/(L,1)
+      # row scalings (P = diag(r)·e, so r commutes through each dot):
+      #   dV = eᵀ·(dO·r);   c = rowsum(dP∘e)·r;   dS_raw = e∘(dP−c);
+      #   dQ = (dS_raw·K)·r·scale;   dK = dS_rawᵀ·(Q·r)·scale.
+      # r also carries the garbage-query-row mask (rows past seq_len), which
+      # kills their contributions to the dV/dK query contractions.
+      r = row_maskf / jnp.sum(e, axis=-1, keepdims=True)   # (lp, 1)
+      eb = e.astype(q_all.dtype)
+      dv = jax.lax.dot_general(eb, (do * r).astype(q_all.dtype),
+                               (((0,), (0,)), ((), ())),
                                preferred_element_type=f32)
       dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                preferred_element_type=f32)
-      ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-            ).astype(q_all.dtype)
-      dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                               preferred_element_type=f32) * scale
-      dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                               preferred_element_type=f32) * scale
+      c = jnp.sum(dp * e, axis=-1, keepdims=True) * r
+      ds_raw = (e * (dp - c)).astype(q_all.dtype)
+      dq = jax.lax.dot_general(ds_raw, k, (((1,), (0,)), ((), ())),
+                               preferred_element_type=f32) * (r * scale)
+      dk = jax.lax.dot_general(ds_raw, (q * (r * scale)).astype(q_all.dtype),
+                               (((0,), (0,)), ((), ())),
+                               preferred_element_type=f32)
       dq_h.append(dq.astype(dq_ref.dtype))
       dk_h.append(dk.astype(dk_ref.dtype))
       dv_h.append(dv.astype(dv_ref.dtype))

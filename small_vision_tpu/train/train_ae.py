@@ -19,6 +19,7 @@ TPU-first deviations:
 
 import functools
 import importlib
+import os
 from typing import Optional
 
 import flax
@@ -188,6 +189,12 @@ def make_update_fn(model, tx, config, device_pp, mesh,
 
     params, opt = train_state["params"], train_state["opt"]
     loss, grads = jax.value_and_grad(loss_fn)(params)
+    if os.environ.get("SV_GRAD_BARRIER"):
+      # Experimental: stop XLA fusing the optimizer chain's global-norm
+      # sum-of-squares INTO the weight-grad matmul fusions (xprof shows those
+      # combined multiply_reduce fusions at ~60 TF/s vs ~179 TF/s for plain
+      # grad matmuls).
+      grads = jax.lax.optimization_barrier(grads)
     updates, opt = tx.update(grads, opt, params)
     params = optax.apply_updates(params, updates)
 
