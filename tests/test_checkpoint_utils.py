@@ -51,14 +51,23 @@ def test_chrono_ticks_and_pause():
   c.tick(1)           # starts warmup window
   time.sleep(0.01)
   c.tick(5)           # ends warmup, starts timing
+  t_timed0 = time.monotonic()
   c.pause(wait_for=())
+  t_pause0 = time.monotonic()
   time.sleep(0.02)
   c.resume()
+  t_pause1 = time.monotonic()
   time.sleep(0.01)
   c.tick(10)
+  t_timed1 = time.monotonic()
   assert "z/img_per_sec" in seen
-  # Paused time is excluded: rate computed over ~10ms for 5 steps.
-  assert seen["z/secs_per_step"] < 0.015
+  # Paused time is excluded. Bound against measured monotonic spans (not a
+  # wall-clock constant — this box runs loaded) with slack for the stamps
+  # sitting outside Chrono's own clock reads.
+  unpaused = (t_pause0 - t_timed0) + (t_timed1 - t_pause1)
+  total = t_timed1 - t_timed0
+  assert seen["z/secs_per_step"] * 5 <= unpaused + 0.005
+  assert seen["z/secs_per_step"] * 5 <= total - (t_pause1 - t_pause0) + 0.005
   state = c.save()
   c2 = Chrono()
   c2.load(state)
