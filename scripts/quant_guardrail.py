@@ -22,7 +22,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def read_losses(workdir):
   rows = []
-  with open(os.path.join(workdir, "sv_tpu_metrics.txt")) as f:
+  path = os.path.join(workdir, "sv_tpu_metrics.txt")
+  if not os.path.exists(path):
+    return {}
+  with open(path) as f:
     for line in f:
       line = line.strip()
       if line:
@@ -35,9 +38,16 @@ def read_losses(workdir):
   return dict(rows)
 
 
-def run(tag, config, workdir):
+def run(tag, config, workdir, want_steps):
   os.makedirs(workdir, exist_ok=True)
   log = os.path.join(workdir, "train.log")
+  done = read_losses(workdir)
+  if done and max(done) >= want_steps:
+    # Resume: this arm already ran to completion (a prior invocation was
+    # killed between arms); reuse its metrics instead of re-burning chip time.
+    print(f"[guardrail] {tag}: reusing completed run in {workdir} "
+          f"({len(done)} log points)", flush=True)
+    return done
   print(f"[guardrail] {tag}: {config}", flush=True)
   with open(log, "w") as f:
     rc = subprocess.call(
@@ -60,9 +70,10 @@ def main():
   base = (f"ae_i1k.py:data=synthetic,batch_size={args.batch_size},"
           f"epochs={epochs},save_ckpt=False,log_steps=20")
 
-  bf16 = run("bf16", base, os.path.join(args.out, "bf16"))
+  want = epochs * 50_000 // args.batch_size - 20  # last log step, minus slack
+  bf16 = run("bf16", base, os.path.join(args.out, "bf16"), want)
   q = run(args.quant, base + f",quant={args.quant}",
-          os.path.join(args.out, args.quant))
+          os.path.join(args.out, args.quant), want)
 
   common = sorted(set(bf16) & set(q))
   assert len(common) >= 10, f"too few matched log steps: {len(common)}"
