@@ -190,8 +190,13 @@ def _time_sampler(batch_size=None, sampling_steps=125):
                               sampling_timesteps=sampling_steps, eta=1.0,
                               clip_denoised=True)
   config.mask_ratio_no_noise = 0.75
-  config.model = dict(variant="B/4", img_size=64, scan=True, adaln=True,
-                      dtype_mm="bfloat16",
+  # scan=True by default: sampling runs the fwd 125x inside lax.scan, where
+  # the layer-scan body compiles once; SV_BENCH_SAMPLER_SCAN=0 measures the
+  # unrolled variant (which wins for TRAINING — whether XLA's cross-layer
+  # fusion also wins without a bwd pass is an empirical question).
+  config.model = dict(variant="B/4", img_size=64,
+                      scan=os.environ.get("SV_BENCH_SAMPLER_SCAN", "1") == "1",
+                      adaln=True, dtype_mm="bfloat16",
                       attn_impl=os.environ.get("SV_BENCH_ATTN", "pallas"))
   if os.environ.get("SV_BENCH_QUANT"):
     config.model.quant = os.environ["SV_BENCH_QUANT"]

@@ -1,0 +1,108 @@
+"""Real-data quality loop on the only real labeled image set in this image.
+
+FID/LP parity vs BASELINE.md needs ImageNet + pretrained Inception weights
+(environmentally unavailable: zero egress). This drill instead proves the
+*quality loop itself* end-to-end on REAL data: sklearn's handwritten digits
+(1797 8x8 grayscale images, 10 classes) are ingested into the `arrays:`
+layout, the real CLI trainer pretrains UMD on them on the real chip with the
+default evaluators live (diffusion val loss + MAE reconstruction + the
+closed-form 100-shot linear probe of evaluators/fewshot_lsr.py), and the
+probe accuracy must land far above the 10% chance floor — i.e. the encoder
+learned real representations and the eigh-solver probe measured them, through
+exactly the pipeline a data-equipped machine would use for ImageNet parity
+(ingest -> arrays:<parent> -> evals).
+
+Parity anchor: the reference's fewshot protocol (big_vision
+evaluators/fewshot_lsr.py:40-116, configs/common_fewshot.py:20-47).
+
+Usage (chip must be free; ~10 min):
+  python scripts/digits_quality_loop.py --workdir /tmp/digits_run
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def ingest(root, size):
+  from sklearn.datasets import load_digits
+  from small_vision_tpu.data.arrays import write_arrays
+
+  digits = load_digits()
+  n = len(digits.images)  # 1797
+  imgs = np.zeros((n, size, size, 3), np.uint8)
+  for i, im in enumerate(digits.images):  # 8x8 floats in [0, 16]
+    arr = np.uint8(np.clip(im * (255.0 / 16.0), 0, 255))
+    up = Image.fromarray(arr, "L").resize((size, size), Image.BILINEAR)
+    imgs[i] = np.asarray(up)[..., None]
+  labels = digits.target.astype(np.int64)
+  # Deterministic shuffle, then 1500/297 train/validation.
+  perm = np.random.default_rng(0).permutation(n)
+  imgs, labels = imgs[perm], labels[perm]
+  write_arrays(os.path.join(root, "train"), imgs[:1500], labels[:1500])
+  write_arrays(os.path.join(root, "validation"), imgs[1500:], labels[1500:])
+  return root
+
+
+def main():
+  ap = argparse.ArgumentParser()
+  ap.add_argument("--workdir", default="/tmp/digits_run")
+  ap.add_argument("--data_root", default="/tmp/digits_arrays")
+  ap.add_argument("--size", type=int, default=64)
+  ap.add_argument("--batch_size", type=int, default=256)
+  ap.add_argument("--epochs", type=int, default=600)  # 1500 ex -> ~3.5k steps
+  ap.add_argument("--min_acc", type=float, default=0.5)
+  args = ap.parse_args()
+
+  ingest(args.data_root, args.size)
+  # Default UMD recipe at digits scale: B/4 is overkill for 1.5k examples,
+  # so use a small variant; evals (val + mae_val + fewshot LP) stay on their
+  # default wiring, with log_steps pulled in so they run inside this drill.
+  config = (f"ae_i1k.py:data=arrays:{args.data_root},variant=S/4,"
+            f"size={args.size},batch_size={args.batch_size},"
+            f"epochs={args.epochs},save_ckpt=False,"
+            "log_steps=50,eval_steps=1500")
+  rc = subprocess.call(
+      [sys.executable, "-m", "small_vision_tpu.cli",
+       "--config", config, "--workdir", args.workdir],
+      cwd=REPO)
+  assert rc == 0, f"trainer failed rc={rc}"
+
+  rows = []
+  with open(os.path.join(args.workdir, "sv_tpu_metrics.txt")) as f:
+    for line in f:
+      if line.strip():
+        rows.append(json.loads(line))
+  accs = [(r["step"], v) for r in rows for k, v in r.items()
+          if k.endswith("imagenet_100shot-seed-0")]
+  losses = [(r["step"], r["training_loss"])
+            for r in rows if "training_loss" in r]
+  assert accs, "no fewshot accuracy logged — evaluators did not run"
+  final_acc = float(np.mean(
+      [v for r in rows[-len(rows) // 4:] for k, v in r.items()
+       if "imagenet_100shot" in k] or [accs[-1][1]]))
+  summary = {
+      "n_train": 1500, "n_val": 297, "chance_acc": 0.1,
+      "first_lp_acc": accs[0][1], "final_lp_acc": final_acc,
+      "lp_trajectory": accs, "first_loss": losses[0][1],
+      "final_loss": losses[-1][1], "ok": final_acc >= args.min_acc,
+  }
+  out = os.path.join(args.workdir, "quality_loop_summary.json")
+  with open(out, "w") as f:
+    json.dump(summary, f, indent=1)
+  print("[quality-loop]", json.dumps(summary), flush=True)
+  assert final_acc >= args.min_acc, (
+      f"100-shot LP accuracy {final_acc:.3f} below {args.min_acc} — "
+      "representation learning or the probe pipeline regressed")
+
+
+if __name__ == "__main__":
+  main()

@@ -93,7 +93,8 @@ def main():
                               5),
       "final_bf16": bf16[common[-1]], "final_quant": q[common[-1]],
   }
-  with open(os.path.join(args.out, "guardrail_summary.json"), "w") as f:
+  out = os.path.join(args.out, f"guardrail_summary_{args.quant}.json")
+  with open(out, "w") as f:
     json.dump(summary, f, indent=1)
   print("[guardrail]", json.dumps(summary), flush=True)
 

@@ -1,21 +1,28 @@
 """On-chip soak + preemption drill (VERDICT r2 item 6).
 
-Runs the REAL CLI trainer on the local TPU with synthetic data and frequent
-checkpoints, kill -9s it mid-run, relaunches, and asserts:
+Runs the REAL CLI trainer on the local TPU with synthetic data and periodic
+checkpoints, kill -9s it mid-run (deliberately racing the async checkpoint
+writer), relaunches, and asserts real preemption semantics:
 
-  - the run resumes from the latest checkpoint step (no restart from 0),
-  - the step sequence in the metrics log is strictly increasing across the
-    kill, with the resumed segment starting at (ckpt_step + 1..log window),
-  - the loss curve continues without discontinuity: |mean(loss around kill)
-    - mean(loss after resume)| is within the local loss noise,
-  - Chrono's epoch accounting continues monotonically.
+  - the run resumes from the latest COMMITTED checkpoint (orbax atomic
+    commit): the resumed segment starts within one checkpoint interval of
+    the kill point — never from step 0, never past the kill point,
+  - steps are strictly increasing within the resumed run (re-running the
+    steps since the last committed checkpoint is EXPECTED — that is what a
+    preempted trainer does; the metrics log records both passes),
+  - trajectory reproducibility: where the resumed run re-logs steps the
+    first run already logged, the losses match (restored train_state carries
+    the rng, so the re-run draws the same noise/masks/data order),
+  - the loss curve continues without discontinuity past the kill point,
+  - Chrono's epoch accounting is monotone within the resumed run.
 
 Parity anchor: the reference's preemption protocol (big_vision utils.py
-checkpoint/resume + trainers/train_ae.py:203-261 resume path).
+:912-952 -LAST/-CUR/-tmp atomic pointer + trainers/train_ae.py:203-261
+resume path).
 
 Usage (chip must be free):
-  python scripts/soak_drill.py --workdir /tmp/soak --kill_after_steps 400 \
-      --resume_steps 200 [--total_steps 2000] [--ckpt_steps 100]
+  python scripts/soak_drill.py --workdir /tmp/soak --kill_after_steps 10000 \
+      --resume_steps 1500 [--total_steps 15000] [--ckpt_steps 2500]
 """
 
 import argparse
@@ -97,9 +104,11 @@ def main():
             flush=True)
       os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
       proc.wait()
-  kill_rows = rows
-  kill_step = kill_rows[-1]["step"]
-  pre_loss = [r["training_loss"] for r in kill_rows[-5:]]
+  # Snapshot phase 1 AFTER the kill (the trainer may have logged past our
+  # last 15 s poll before the SIGKILL landed).
+  phase1 = read_metrics(args.workdir)
+  kill_step = phase1[-1]["step"]
+  pre_loss = [r["training_loss"] for r in phase1[-5:]]
 
   print(f"[drill] killed at logged step {kill_step}; relaunching", flush=True)
   time.sleep(5)
@@ -113,36 +122,55 @@ def main():
       proc.wait()
 
   # ---- assertions -------------------------------------------------------
-  steps = [r["step"] for r in rows]
-  # Resume must NOT restart from 0: after the kill row, the next logged step
-  # continues past the last checkpoint, and the full sequence stays
-  # strictly increasing (orbax restore + Chrono step accounting).
-  assert all(b > a for a, b in zip(steps, steps[1:])), (
-      "step sequence not strictly increasing across the kill: "
-      f"{[s for s, (a, b) in zip(steps[1:], zip(steps, steps[1:])) if b <= a][:5]}")
-  resumed = [r for r in rows if r["step"] > kill_step]
-  assert resumed, "no steps after resume"
-  first_resumed = resumed[0]["step"]
-  # The resumed segment starts within one ckpt+log window of the kill point.
-  max_loss_window = args.ckpt_steps + 20
-  assert first_resumed - kill_step <= max_loss_window, (
-      f"resume gap too large: kill at {kill_step}, resumed at {first_resumed}")
+  phase2 = rows[len(phase1):]
+  assert phase2, "no metrics logged after resume"
+  steps2 = [r["step"] for r in phase2]
+  assert all(b > a for a, b in zip(steps2, steps2[1:])), (
+      f"resumed run's steps not strictly increasing: {steps2[:10]}")
+  first_resumed = steps2[0]
+  # Resume starts from the last COMMITTED checkpoint: at most one checkpoint
+  # interval (+ a log window) before the kill point — the kill may land
+  # mid-write of the next checkpoint, whose torn tmp dir orbax must ignore —
+  # and never past it (and never from 0).
+  assert kill_step - (args.ckpt_steps + 20) <= first_resumed <= \
+      kill_step + 20, (
+          f"resume point {first_resumed} outside "
+          f"[{kill_step - args.ckpt_steps - 20}, {kill_step + 20}] "
+          f"(kill at {kill_step}, ckpt every {args.ckpt_steps})")
 
-  post_loss = [r["training_loss"] for r in resumed[:5]]
+  # Trajectory reproducibility on re-run steps: the restored train_state
+  # carries the rng and the data order is (seed, epoch)-deterministic, so
+  # re-logged steps must reproduce the first run's losses.
+  p1_by_step = {r["step"]: r["training_loss"] for r in phase1}
+  overlap = [(s, r["training_loss"]) for s, r in zip(steps2, phase2)
+             if s in p1_by_step]
+  max_rerun_dev = max(
+      (abs(l2 - p1_by_step[s]) / max(abs(p1_by_step[s]), 1e-6)
+       for s, l2 in overlap), default=0.0)
+  assert max_rerun_dev < 0.05, (
+      f"re-run steps diverged from the original trajectory by "
+      f"{max_rerun_dev:.1%} — restore is not state-exact")
+
+  fresh = [r for r in phase2 if r["step"] > kill_step]
+  assert fresh, "resumed run never passed the kill point"
+  post_loss = [r["training_loss"] for r in fresh[:5]]
   pre, post = sum(pre_loss) / len(pre_loss), sum(post_loss) / len(post_loss)
   local_noise = max(abs(a - b) for a, b in zip(pre_loss, pre_loss[1:])) + 0.02
   assert abs(post - pre) < max(10 * local_noise, 0.1), (
       f"loss discontinuity across preemption: {pre:.4f} -> {post:.4f}")
 
-  epochs_seq = [r.get("epochs") for r in rows if r.get("epochs") is not None]
+  epochs_seq = [r.get("epochs") for r in phase2
+                if r.get("epochs") is not None]
   assert all(b >= a for a, b in zip(epochs_seq, epochs_seq[1:])), (
-      "Chrono epoch accounting went backwards across resume")
+      "Chrono epoch accounting went backwards within the resumed run")
 
   summary = {
       "kill_step": kill_step, "first_resumed_step": first_resumed,
+      "n_rerun_steps_checked": len(overlap),
+      "max_rerun_loss_dev": round(max_rerun_dev, 6),
       "pre_kill_loss_mean": round(pre, 4), "post_resume_loss_mean":
-      round(post, 4), "final_step": steps[-1],
-      "final_loss": rows[-1]["training_loss"],
+      round(post, 4), "final_step": steps2[-1],
+      "final_loss": phase2[-1]["training_loss"],
       "n_logged": len(rows), "ok": True,
   }
   out = os.path.join(args.workdir, "drill_summary.json")

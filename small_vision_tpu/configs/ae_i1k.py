@@ -32,6 +32,7 @@ def get_config(arg=None):
       use_preprocessed_latents=False, latent_diffusion=False, save_ckpt=True,
       data="imagenet2012", attn_impl="pallas", runlocal=False, heads=0,
       ckpt_steps=0, log_steps=0,  # 0 = keep the defaults (5000 / 100)
+      eval_steps=0,  # 0 = per-evaluator defaults (25k loss / 10k fewshot)
       quant="")  # "int8_mlp": dynamic int8 MLP matmuls (ops/quant.py)
 
   config = mlc.ConfigDict()
@@ -84,7 +85,10 @@ def get_config(arg=None):
   config.input.pp = pp_train + pp_common
   pp_eval = f"decode|resize_small({arg.size})|central_crop({arg.size})" \
       + pp_common
-  if arg.data == "synthetic":
+  if arg.data == "synthetic" or arg.data.startswith("arrays:"):
+    # Already-decoded fixed-size uint8 images: no decode/resize stage. For
+    # arrays, point `data=arrays:<parent>` at a dir with train/ and
+    # validation/ subdirs so the val/fewshot evaluators resolve their splits.
     pp_eval = pp_common[1:]
 
   config.input.batch_size = arg.batch_size
@@ -164,6 +168,10 @@ def get_config(arg=None):
     config.evals["sample_cfg_1_5"] = get_sample_eval("cfg_eps_2.0")
     config.evals["sample_cfg_4"] = get_sample_eval("cfg_eps_4.0")
     config.inception_reference_path = ""  # Set to local fid stats .npz.
+
+  if arg.eval_steps:  # One knob over every evaluator's cadence (short runs).
+    for ev in config.evals.values():
+      ev["log_steps"] = arg.eval_steps
 
   if arg.runlocal:
     config.input.batch_size = 32

@@ -5,16 +5,28 @@ reference's 120 GB tf.data RAM cache + 250k shuffle buffer
 (configs/ae_i1k.py:61-62), a random-access memmap + a per-epoch index
 permutation gives exact global shuffling at zero RAM cost.
 
-Layout: `{root}/images.npy` (N,H,W,C) uint8 memmap and optional
-`{root}/labels.npy` (N,) int. Use `write_arrays()` to build one.
+Layout — either a single-split dir or a parent of split dirs:
+
+  {root}/images.npy  (N,H,W,C) uint8 memmap [+ labels.npy (N,) int]
+  {root}/{split}/images.npy [+ labels.npy]   (multi-split parent)
+
+With a parent root, `data=arrays:/data/arrays` serves BOTH the train loop
+(split="train") and the config's default evaluators (split="validation",
+fewshot "train[:100000]") — the same wiring the TFDS source gets from
+`tfds.even_splits` (reference datasets/tfds.py:31-32). Splits accept the
+tfds subsplit syntax `name[lo:hi]` with absolute or percent bounds
+(out-of-range bounds clamp). Use `write_arrays()` to build a split dir.
 """
 
 import os
+import re
 from typing import Iterator, Optional
 
 import numpy as np
 
 from small_vision_tpu.data import core
+
+_SPLIT_RE = re.compile(r"^([\w-]+)(?:\[([^\[\]]*)\])?$")
 
 
 def write_arrays(root: str, images: np.ndarray,
@@ -25,26 +37,76 @@ def write_arrays(root: str, images: np.ndarray,
     np.save(os.path.join(root, "labels.npy"), labels)
 
 
+def parse_split(split: str):
+  """'train[:100000]' → ('train', bound_fn) with tfds subsplit semantics.
+
+  Returns (base_name, f(n) -> (lo, hi)) where bounds may be absolute
+  example counts or percents ('train[:10%]'); omitted bounds default to the
+  ends, negative absolutes count from the end, out-of-range bounds clamp.
+  """
+  m = _SPLIT_RE.match(split)
+  if not m:
+    raise ValueError(f"Malformed split spec {split!r} "
+                     "(expected e.g. 'train', 'validation[:1000]', "
+                     "'train[50%:]').")
+  base, sl = m.group(1), m.group(2)
+  if sl is not None and sl.count(":") != 1:
+    raise ValueError(f"Split slice must be 'lo:hi' in {split!r}")
+
+  def one(bound, n, default):
+    bound = bound.strip()
+    if not bound:
+      return default
+    if bound.endswith("%"):
+      pct = float(bound[:-1])
+      if not 0 <= pct <= 100:
+        raise ValueError(f"Percent bound out of [0, 100] in {split!r}")
+      return int(n * pct / 100)
+    i = int(bound)
+    return max(0, min(n, i + n if i < 0 else i))
+
+  def bounds(n):
+    if sl is None:
+      return 0, n
+    parts = sl.split(":")
+    lo, hi = one(parts[0], n, 0), one(parts[1], n, n)
+    return lo, max(lo, hi)
+
+  return base, bounds
+
+
 class DataSource(core.DataSource):
 
   def __init__(self, *, root: str, split: str = "train", split_frac=None):
-    # An arrays dir holds ONE split (build separate dirs per split, or pass
-    # split_frac for a fractional slice). Accepting an unknown split name and
-    # silently returning the same data would leak train into eval, so any
-    # split other than the dir's own is an error unless split_frac is given.
-    if split_frac is None and split != "train":
+    base, bounds = parse_split(split)
+    sub = os.path.join(root, base)
+    if os.path.exists(os.path.join(sub, "images.npy")):
+      root = sub  # Multi-split parent: {root}/{split}/images.npy.
+    elif not os.path.exists(os.path.join(root, "images.npy")):
+      raise FileNotFoundError(
+          f"No arrays data at {root!r}: expected images.npy there (single "
+          f"split) or under {sub!r} (multi-split parent). Build one with "
+          "data.arrays.write_arrays or scripts/ingest_imagenet_arrays.py.")
+    elif split_frac is None and base not in (
+        "train", os.path.basename(os.path.normpath(root))):
+      # A single-split dir serves only its own split (or the default
+      # "train", or an explicit split_frac slice under any name): silently
+      # returning the same data for OTHER split names would leak train into
+      # eval.
       raise ValueError(
           f"arrays source at {root!r} holds a single split; got "
-          f"split={split!r}. Point the config at a per-split root "
-          f"(e.g. {root}/validation) or pass split_frac=(lo, hi).")
+          f"split={split!r}. Point the config at a multi-split parent dir "
+          f"(with a {base}/ subdir) or at the per-split dir itself.")
     self.images = np.load(os.path.join(root, "images.npy"), mmap_mode="r")
     labels_path = os.path.join(root, "labels.npy")
     self.labels = (np.load(labels_path, mmap_mode="r")
                    if os.path.exists(labels_path) else None)
     n = self.images.shape[0]
-    # Optional fractional split, e.g. split_frac=(0.0, 0.99) for train[:99%].
-    lo, hi = split_frac if split_frac else (0.0, 1.0)
-    self._lo, self._hi = int(n * lo), int(n * hi)
+    if split_frac is not None:
+      lo, hi = int(n * split_frac[0]), int(n * split_frac[1])
+    else:
+      lo, hi = bounds(n)
+    self._lo, self._hi = lo, hi
 
   @property
   def total_examples(self) -> int:

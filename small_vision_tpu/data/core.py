@@ -70,11 +70,15 @@ def get(name: str, **kw) -> DataSource:
   """Dispatches `name` to a source module.
 
   Names: "synthetic" (tests/bench), "tfds" (gated on tensorflow_datasets),
-  "arrays" (npy/memmap folders), or "mod:<module>" for custom modules.
+  "arrays" (npy/memmap folders), "arrays:<root>" (same, root inline — the
+  config arg / evaluator-dataset string form), or "mod:<module>" for custom
+  modules (the reference's `bv:` prefix, datasets/core.py:73-79).
   """
   if name.startswith("mod:"):
     module = importlib.import_module(name[4:])
     return module.DataSource(**kw)
+  if name.startswith("arrays:"):
+    return get("arrays", root=name[len("arrays:"):], **kw)
   known = {"synthetic": "small_vision_tpu.data.synthetic",
            "tfds": "small_vision_tpu.data.tfds_source",
            "arrays": "small_vision_tpu.data.arrays",

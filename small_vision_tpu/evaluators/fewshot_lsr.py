@@ -157,10 +157,9 @@ class Evaluator:
 
 
 def _get_source(spec, split):
-  """spec: a dataset name string, "arrays:<root>", or a kwargs dict."""
+  """spec: a dataset name string (incl. "arrays:<root>") or a kwargs dict;
+  prefix parsing lives in ds_core.get."""
   if isinstance(spec, dict):
     spec = dict(spec)
     return ds_core.get(spec.pop("name"), split=split, **spec)
-  if spec.startswith("arrays:"):
-    return ds_core.get("arrays", root=spec[len("arrays:"):], split=split)
   return ds_core.get(spec, split=split)
