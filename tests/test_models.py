@@ -72,7 +72,11 @@ def test_ae_dual_forward_matches_separate_applies():
                              rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_ae_dual_forward_masked_shapes_and_grads():
+  # Slow: 43 s of pure grad-jaxpr compile on the 1-core CI box, for the
+  # opt-in fused_branches path whose numerics are covered by the fast
+  # test_ae_dual_forward_matches_separate_applies below.
   # depth=1 keeps the grad jaxpr small (this was the slowest fast test).
   model = ae_mod._ViTAE(adaln=True, scan=False, **{**TINY, "depth": 1})
   rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
