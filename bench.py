@@ -172,9 +172,11 @@ def _spread_pct(rates):
   return 100.0 * (max(rates) - min(rates)) / med if med else 0.0
 
 
-def _time_sampler(batch_size=None, sampling_steps=125):
+def _time_sampler(batch_size=None, sampling_steps=125, quant=None):
   if batch_size is None:
     batch_size = int(os.environ.get("SV_BENCH_SAMPLER_BS", 64))
+  if quant is None:
+    quant = os.environ.get("SV_BENCH_QUANT")
   """125-step DDIM sampler imgs/sec (the FID-10k path)."""
   from small_vision_tpu.ops import diffusion as gd_lib
   from small_vision_tpu.train import train_ae
@@ -198,8 +200,8 @@ def _time_sampler(batch_size=None, sampling_steps=125):
                       scan=os.environ.get("SV_BENCH_SAMPLER_SCAN", "1") == "1",
                       adaln=True, dtype_mm="bfloat16",
                       attn_impl=os.environ.get("SV_BENCH_ATTN", "pallas"))
-  if os.environ.get("SV_BENCH_QUANT"):
-    config.model.quant = os.environ["SV_BENCH_QUANT"]
+  if quant:
+    config.model.quant = quant
 
   model = train_ae.build_model(config)
   rng = jax.random.PRNGKey(0)
@@ -279,6 +281,17 @@ def main():
     extras["sampler_125step_imgs_per_sec"] = round(
         float(np.median(s_rates)), 3)
     extras["sampler_spread_pct"] = round(_spread_pct(s_rates), 2)
+    # The int8_all serving path (loss-curve guardrail:
+    # perf/guardrail_summary_int8_all.json, 0.054% max rel delta) — the
+    # production sampler config; report it alongside the bf16 default.
+    try:
+      q_rates = _time_sampler(quant="int8_all")
+      extras["sampler_125step_imgs_per_sec_int8"] = round(
+          float(np.median(q_rates)), 3)
+      extras["sampler_int8_spread_pct"] = round(_spread_pct(q_rates), 2)
+    except Exception:  # noqa: BLE001 — never fail the bench on the extra.
+      import traceback
+      traceback.print_exc()
 
   print(json.dumps({
       "metric": "train imgs/sec/chip (UMD-B/4@64)",

@@ -18,3 +18,8 @@ from small_vision_tpu.parallel.collectives import (  # noqa: F401
 from small_vision_tpu.parallel.explicit_step import (  # noqa: F401
     make_explicit_update_fn,
 )
+from small_vision_tpu.parallel.pipeline import (  # noqa: F401
+    pipeline_apply,
+    stage_params,
+    unstage_params,
+)

@@ -24,7 +24,7 @@ import numpy as np
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-AXES = ("data", "fsdp", "tensor")
+AXES = ("data", "fsdp", "tensor", "pipe")
 # Batch is sharded over both pure-DP and FSDP axes.
 BATCH_AXES = ("data", "fsdp")
 
@@ -51,19 +51,20 @@ def init_distributed(coordinator_address: Optional[str] = None,
 
 
 def make_mesh(devices=None, *, data: int = -1, fsdp: int = 1,
-              tensor: int = 1) -> Mesh:
+              tensor: int = 1, pipe: int = 1) -> Mesh:
   """Builds an N-D mesh; `data=-1` absorbs all remaining devices.
 
   Only axes with size > 1 (plus 'data') are materialized, so the common case
   stays a 1-D ("data",) mesh and PartitionSpecs mentioning absent axes must
-  not be used (use `batch_spec(mesh)` helpers below).
+  not be used (use `batch_spec(mesh)` helpers below). `pipe` is the pipeline
+  stage axis consumed by parallel/pipeline.py.
   """
   devices = devices if devices is not None else jax.devices()
   n = len(devices)
   if fsdp in (0, -1):  # "all devices on the fsdp axis" (pure ZeRO).
-    assert n % max(tensor, 1) == 0
-    fsdp, data = n // max(tensor, 1), 1
-  sizes = {"fsdp": fsdp, "tensor": tensor}
+    assert n % max(tensor * pipe, 1) == 0
+    fsdp, data = n // max(tensor * pipe, 1), 1
+  sizes = {"fsdp": fsdp, "tensor": tensor, "pipe": pipe}
   rest = int(np.prod([v for v in sizes.values()]))
   if data == -1:
     assert n % rest == 0, f"{n} devices not divisible by fsdp*tensor={rest}"

@@ -1,0 +1,146 @@
+"""GPipe-style pipeline parallelism over a 'pipe' mesh axis (shard_map).
+
+The reference scales only by data parallelism (its 1-D mesh,
+/root/reference/big_vision/trainers/train_ae.py:35,159); this module adds the
+TPU-native pipeline axis the reference never had: transformer depth is
+partitioned into S contiguous stages, each stage's block parameters live
+ONLY on its stage's devices (P('pipe') on the stacked layer dim — depth-wise
+ZeRO for free), and activations flow stage-to-stage over ICI via
+`lax.ppermute` in a classic GPipe schedule:
+
+  tick t (of M + S - 1):   stage s computes microbatch m = t - s
+  after each tick:         one collective-permute shifts activations s -> s+1
+
+Written with hand-rolled collectives inside `shard_map` (same philosophy as
+explicit_step.py): the schedule is latency-visible, autodiff derives the
+backward pipeline automatically (ppermute transposes to the reverse
+permutation, the scan reverses), and tests pin it against the sequential
+stack exactly.
+
+Composition: the pipeline axis composes with the batch axes — build
+`make_mesh`-style meshes with a leading 'data' axis and shard the batch over
+it; each data-parallel replica then pipelines over its own 'pipe' group.
+Bubble fraction is the textbook (S-1)/(M+S-1); pick n_microbatches >= 4*S
+in production.
+
+No reference counterpart — cite: reference has none (torch DDP/NCCL only,
+big_vision/trainers/train_ae.py:35).
+"""
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+try:
+  from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover
+  from jax.experimental.shard_map import shard_map
+
+
+def stage_params(stacked_params, n_stages):
+  """[num_layers, ...] leaves -> [n_stages, layers_per_stage, ...].
+
+  The leading (n_stages) dim is the one to shard with P('pipe') so every
+  device holds only its stage's layers.
+  """
+
+  def split(x):
+    assert x.shape[0] % n_stages == 0, (
+        f"num_layers {x.shape[0]} not divisible by {n_stages} stages")
+    return x.reshape((n_stages, x.shape[0] // n_stages) + x.shape[1:])
+
+  return jax.tree.map(split, stacked_params)
+
+
+def unstage_params(staged_params):
+  """Inverse of `stage_params`."""
+  return jax.tree.map(
+      lambda x: x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:]),
+      staged_params)
+
+
+def pipeline_apply(block_fn, staged_params, x, *, mesh, axis="pipe",
+                   n_microbatches, batch_axes=()):
+  """Applies `num_layers` blocks to x, pipelined over mesh axis `axis`.
+
+  Args:
+    block_fn: (layer_params, x) -> x for ONE layer; layer_params is one
+      leading-dim slice of the stacked params.
+    staged_params: output of `stage_params` — leaves [S, layers/S, ...],
+      placed with P(axis) on dim 0 (see `staged_param_specs`).
+    x: [B, ...] activations, replicated along `axis`; optionally sharded on
+      dim 0 over `batch_axes` (each data-parallel group pipelines its own
+      batch shard).
+    mesh: the device mesh (must contain `axis`).
+    n_microbatches: M; the per-group batch must divide by M.
+    batch_axes: mesh axes the batch dim of x is sharded over (e.g.
+      ("data",)); params are replicated along them.
+
+  Returns x after all layers, identical (to float tolerance) to running the
+  blocks sequentially. Differentiable: grads w.r.t. staged_params come back
+  with the same P(axis) placement (stage-local), grads w.r.t. x replicated.
+  """
+  n_stages = mesh.shape[axis]
+  n_batch_shards = 1
+  for a in (batch_axes or ()):
+    n_batch_shards *= mesh.shape[a]
+  assert x.shape[0] % n_batch_shards == 0, (x.shape, batch_axes)
+  batch = x.shape[0] // n_batch_shards  # per-group local batch
+  assert batch % n_microbatches == 0, (batch, n_microbatches)
+  mb = batch // n_microbatches
+
+  def stage_fn(params_1stage, h):
+    # params_1stage leaves: [layers/S, ...]; run them sequentially.
+    def body(h, layer_params):
+      return block_fn(layer_params, h), None
+
+    h, _ = jax.lax.scan(body, h, params_1stage)
+    return h
+
+  def per_device(params_shard, x_rep):
+    # params_shard leaves: [1, layers/S, ...] (the local stage slice).
+    params_local = jax.tree.map(lambda p: p[0], params_shard)
+    s = jax.lax.axis_index(axis)
+    x_mb = x_rep.reshape((n_microbatches, mb) + x_rep.shape[1:])
+    state = jnp.zeros_like(x_mb[0])
+    out = jnp.zeros_like(x_mb)
+    perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+    total = n_microbatches + n_stages - 1
+
+    def tick(carry, t):
+      state, out = carry
+      # Stage 0 ingests microbatch t (clamped; garbage ticks t >= M are
+      # never read back out). Other stages consume the ppermute'd state.
+      feed = x_mb[jnp.clip(t, 0, n_microbatches - 1)]
+      h_in = jnp.where(s == 0, feed, state)
+      h_out = stage_fn(params_local, h_in)
+      # Last stage owns microbatch m = t - (S-1); write it (clamped index:
+      # early garbage lands on slot 0 and is overwritten at t = S-1).
+      m = jnp.clip(t - (n_stages - 1), 0, n_microbatches - 1)
+      out = jax.lax.dynamic_update_index_in_dim(out, h_out, m, axis=0)
+      state = jax.lax.ppermute(h_out, axis, perm)
+      return (state, out), None
+
+    (state, out), _ = jax.lax.scan(
+        tick, (state, out), jnp.arange(total))
+    # Only stage S-1 holds real outputs; broadcast them to every stage so
+    # the result is replicated along the pipe axis (out_spec P() below).
+    out = jnp.where(s == n_stages - 1, out, jnp.zeros_like(out))
+    out = jax.lax.psum(out, axis)
+    return out.reshape((batch,) + x_rep.shape[1:])
+
+  spec_p = jax.tree.map(lambda _: P(axis), staged_params)
+  x_spec = P(tuple(batch_axes)) if batch_axes else P()
+  fn = shard_map(per_device, mesh=mesh, in_specs=(spec_p, x_spec),
+                 out_specs=x_spec, check_vma=False)
+  return fn(staged_params, x)
+
+
+def staged_param_specs(staged_params, axis="pipe"):
+  """PartitionSpec tree placing the stage dim of every leaf on `axis`."""
+  return jax.tree.map(lambda _: P(axis), staged_params)
+
+
+def bubble_fraction(n_stages, n_microbatches):
+  """The GPipe idle fraction (S-1)/(M+S-1)."""
+  return (n_stages - 1) / (n_microbatches + n_stages - 1)
