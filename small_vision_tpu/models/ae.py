@@ -53,6 +53,10 @@ class _ViTAE(nn.Module):
   # "int8_mlp": dynamic int8 MLP matmuls; "int8_all": + q/k/v/out
   # projections (ops/quant.py). Attention core stays bf16 either way.
   quant: str = "none"
+  # Pipeline parallelism over the mesh's 'pipe' axis (parallel/pipeline.py):
+  # both encoder and decoder depths must divide by pipe_stages.
+  pipe_stages: int = 0
+  pipe_microbatches: int = 0
   no_decay_list: Sequence[str] = ("cls", "mask_token", "bias")
 
   def setup(self):
@@ -87,6 +91,8 @@ class _ViTAE(nn.Module):
         dropout=self.dropout, scan=self.scan,
         remat_policy=self.remat_policy, dtype_mm=self.dtype_mm,
         adaln=self.adaln, attn_impl=self.attn_impl,
+        pipe_stages=self.pipe_stages,
+        pipe_microbatches=self.pipe_microbatches,
         quant={"int8_mlp": "int8", "int8_all": "int8_all",
                "none": "none", "": "none"}[self.quant])
     self.encoder = Encoder(depth=self.depth, name="Encoder", **enc_dec_kw)

@@ -358,7 +358,15 @@ class Block(nn.Module):
 
 class Encoder(nn.Module):
   """Stack of Blocks; `scan=True` compiles one block program iterated with
-  lax.scan + rematerialization (remat policy configurable)."""
+  lax.scan + rematerialization (remat policy configurable).
+
+  `pipe_stages > 1` pipelines the stack over the mesh's 'pipe' axis
+  (parallel/pipeline.py): params keep the scan layout [depth, ...] —
+  sharded P('pipe') on the depth dim, each stage's devices hold only their
+  contiguous layers — and activations flow stage-to-stage via ppermute on
+  the GPipe schedule. Requires scan=True (param layout), an active mesh
+  (parallel.ctx) with a 'pipe' axis of exactly pipe_stages, dropout 0.
+  """
   depth: int
   mlp_dim: Optional[int] = None
   num_heads: int = 12
@@ -369,6 +377,8 @@ class Encoder(nn.Module):
   dtype_mm: str = "bfloat16"
   attn_impl: str = "xla"
   quant: str = "none"
+  pipe_stages: int = 0
+  pipe_microbatches: int = 0
 
   @nn.compact
   def __call__(self, x, cond=None, deterministic=True):
@@ -376,6 +386,40 @@ class Encoder(nn.Module):
               dropout=self.dropout, adaln=self.adaln,
               dtype_mm=self.dtype_mm, attn_impl=self.attn_impl,
               quant=self.quant)
+
+    if self.pipe_stages > 1 and not self.is_initializing():
+      # Params were created by the nn.scan path at init (identical tree);
+      # here they are fed through the explicit pipeline schedule instead.
+      from small_vision_tpu.parallel import ctx as ctx_lib
+      from small_vision_tpu.parallel import mesh as mesh_lib
+      from small_vision_tpu.parallel import pipeline as pl
+
+      mesh = ctx_lib.current_mesh()
+      assert self.scan, "pipe_stages needs scan=True (stacked param layout)"
+      assert mesh is not None and "pipe" in mesh.axis_names, (
+          "pipe_stages needs an active mesh (parallel.ctx.activate_mesh) "
+          f"with a 'pipe' axis; got {mesh}")
+      assert mesh.shape["pipe"] == self.pipe_stages, (
+          f"mesh pipe axis {mesh.shape['pipe']} != pipe_stages "
+          f"{self.pipe_stages}")
+      assert self.dropout == 0.0, "pipeline path supports dropout=0 only"
+      stacked = self.get_variable("params", "blocks")
+      block = Block(**kw)
+
+      def block_fn(lp, h, *aux):
+        # Sharding constraints are GSPMD-only; inside shard_map the axes
+        # are manual, so deactivate the mesh ctx for the block trace.
+        with ctx_lib.activate_mesh(None):
+          h, _ = block.apply({"params": lp}, h,
+                             aux[0] if aux else None, deterministic)
+        return h
+
+      n_mb = self.pipe_microbatches or 4 * self.pipe_stages
+      x = pl.pipeline_apply_stacked(
+          block_fn, stacked, x, mesh=mesh,
+          n_microbatches=n_mb, batch_axes=mesh_lib.batch_axes(mesh),
+          aux=cond)
+      return nn.LayerNorm(name="encoder_norm")(x)
 
     def remat_block(prevent_cse):
       if self.remat_policy == "save_attn":

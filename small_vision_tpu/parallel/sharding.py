@@ -45,6 +45,7 @@ def infer_sharding(tree, mesh: Mesh, strategy: str = "replicated",
       "fully_sharded": fully_sharded,
       "tensor_parallel": tensor_parallel,
       "tp_fsdp": tp_fsdp,
+      "pipeline": pipeline,
   }
   if strategy not in fns:
     raise ValueError(f"Unknown sharding strategy: {strategy!r}")
@@ -108,6 +109,27 @@ def tensor_parallel(tree, mesh, axis_name=None):
         spec = [None] * (ndim - len(dims)) + [
             axis_name if d == "tensor" else None for d in dims]
         return NamedSharding(mesh, P(*spec))
+    return _replicated(mesh)
+
+  return tree_map_with_names(spec_for, tree)
+
+
+def pipeline(tree, mesh, axis_name=None):
+  """Stage-local placement for pipeline parallelism (parallel/pipeline.py):
+  scanned block stacks (`.../blocks/...`, leading depth dim) shard P('pipe')
+  on dim 0 so each stage's devices hold only their contiguous layers;
+  everything else (embeddings, heads, norms) replicates. Composes with the
+  batch axes as usual."""
+  axis_name = axis_name or "pipe"
+  assert axis_name in mesh.axis_names, f"mesh lacks '{axis_name}' axis"
+  n_stages = mesh.shape[axis_name]
+  from small_vision_tpu.utils.trees import tree_map_with_names
+
+  def spec_for(name, x):
+    shape = tuple(x.shape)
+    if re.search(r"(^|/)blocks/", name) and shape and \
+        shape[0] % n_stages == 0:
+      return _shard_dim(mesh, 0, len(shape), axis_name)
     return _replicated(mesh)
 
   return tree_map_with_names(spec_for, tree)

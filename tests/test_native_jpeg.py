@@ -68,18 +68,21 @@ def test_pp_op_uses_native_path():
 
 def test_native_faster_than_pil():
   raw, _ = _jpeg(600, 500)
-  n = 30
-  t0 = time.perf_counter()
-  for i in range(n):
-    native_jpeg.decode_inception_crop(raw, 64, 64, 0.8, 1.0, seed=i)
-  t_native = time.perf_counter() - t0
+  # Best-of-3 windows: wall-clock on a shared-CPU box is noisy (a single
+  # window loses to scheduler preemption, not to PIL).
+  n, t_native, t_pil = 10, float("inf"), float("inf")
+  for _ in range(3):
+    t0 = time.perf_counter()
+    for i in range(n):
+      native_jpeg.decode_inception_crop(raw, 64, 64, 0.8, 1.0, seed=i)
+    t_native = min(t_native, time.perf_counter() - t0)
 
-  t0 = time.perf_counter()
-  for i in range(n):
-    with Image.open(io.BytesIO(raw)) as im:
-      np.asarray(im.convert("RGB").crop((0, 0, 400, 400)).resize(
-          (64, 64), Image.BILINEAR))
-  t_pil = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for i in range(n):
+      with Image.open(io.BytesIO(raw)) as im:
+        np.asarray(im.convert("RGB").crop((0, 0, 400, 400)).resize(
+            (64, 64), Image.BILINEAR))
+    t_pil = min(t_pil, time.perf_counter() - t0)
   # The reduced-scale decode should win clearly on large sources.
   assert t_native < t_pil, (t_native, t_pil)
 

@@ -103,6 +103,66 @@ def test_bubble_fraction():
   assert pl.bubble_fraction(4, 13) == pytest.approx(3 / 16)
 
 
+def test_model_pipeline_equals_scan():
+  """The FULL flagship model with pipe_stages=4 (enc 8 layers, dec 4) on a
+  data=2 x pipe=4 mesh matches the plain scanned model, fwd and grads."""
+  from small_vision_tpu.models import ae
+  from small_vision_tpu.parallel import ctx
+
+  kw = dict(width=32, depth=8, dec_depth=4, num_heads=4, img_size=16,
+            patch_size=(4, 4), scan=True, adaln=True, dtype_mm="float32",
+            attn_impl="xla")
+  m_scan = ae.Model(**kw)
+  m_pipe = ae.Model(**kw, pipe_stages=4, pipe_microbatches=2)
+
+  rng = jax.random.PRNGKey(0)
+  x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 3))
+  t = jnp.arange(8, dtype=jnp.int32) % 5 + 1
+  rngs = {"params": rng, "dropout": rng, "mae_noise": rng, "cfg": rng}
+  params = m_scan.init(rngs, x, t=t, train=False)["params"]
+
+  def fwd(model, params, x):
+    pred, _ = model.apply({"params": params}, x, t=t, train=False)
+    return pred
+
+  ref = fwd(m_scan, params, x)
+  mesh = mesh_lib.make_mesh(data=2, pipe=4)
+  with ctx.activate_mesh(mesh):
+    got = jax.jit(lambda p, x: fwd(m_pipe, p, x))(params, x)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                             rtol=3e-5, atol=3e-5)
+
+  def loss(model):
+    def f(params, x):
+      return jnp.mean(fwd(model, params, x) ** 2)
+    return f
+
+  g_ref = jax.grad(loss(m_scan))(params, x)
+  with ctx.activate_mesh(mesh):
+    g_pipe = jax.jit(jax.grad(loss(m_pipe)))(params, x)
+  jax.tree.map(
+      lambda a, b: np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5),
+      g_pipe, g_ref)
+
+
+def test_pipeline_sharding_strategy():
+  """'pipeline' infer_sharding places block stacks on 'pipe', rest repl."""
+  from small_vision_tpu.parallel.sharding import infer_sharding
+  from jax.sharding import PartitionSpec as P
+
+  mesh = mesh_lib.make_mesh(data=2, pipe=4)
+  tree = {
+      "Encoder": {"blocks": {"Dense_0": {
+          "kernel": jnp.zeros((8, 16, 16))}}},
+      "embedding": {"kernel": jnp.zeros((4, 4, 3, 16))},
+  }
+  sh = infer_sharding(tree, mesh, "pipeline")
+  assert sh["Encoder"]["blocks"]["Dense_0"]["kernel"].spec == \
+      P("pipe", None, None)
+  assert sh["embedding"]["kernel"].spec == P()
+
+
 def test_pipeline_real_vit_blocks():
   """The model's own transformer Block, pipelined over 4 stages + DP=2."""
   from small_vision_tpu.models import vit
