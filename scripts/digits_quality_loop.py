@@ -60,6 +60,9 @@ def main():
   ap.add_argument("--batch_size", type=int, default=256)
   ap.add_argument("--epochs", type=int, default=600)  # 1500 ex -> ~3.5k steps
   ap.add_argument("--min_acc", type=float, default=0.5)
+  ap.add_argument("--config_extra", default="",
+                  help="extra config args appended to the arg string, e.g. "
+                       "'quant=int8_all' for a quantized-numerics arm")
   args = ap.parse_args()
 
   ingest(args.data_root, args.size)
@@ -70,6 +73,8 @@ def main():
             f"size={args.size},batch_size={args.batch_size},"
             f"epochs={args.epochs},save_ckpt=False,"
             "log_steps=50,eval_steps=1500")
+  if args.config_extra:
+    config += "," + args.config_extra
   rc = subprocess.call(
       [sys.executable, "-m", "small_vision_tpu.cli",
        "--config", config, "--workdir", args.workdir],
@@ -91,6 +96,7 @@ def main():
        if "imagenet_100shot" in k] or [accs[-1][1]]))
   summary = {
       "n_train": 1500, "n_val": 297, "chance_acc": 0.1,
+      "config_extra": args.config_extra,
       "first_lp_acc": accs[0][1], "final_lp_acc": final_acc,
       "lp_trajectory": accs, "first_loss": losses[0][1],
       "final_loss": losses[-1][1], "ok": final_acc >= args.min_acc,

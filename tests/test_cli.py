@@ -31,3 +31,4 @@ def test_cli_cleanup(tmp_path):
       "--cleanup",
   ])
   assert not workdir.exists()
+

@@ -146,3 +146,37 @@ def test_tp_fsdp_combined_strategy():
   assert "tensor" in d0, d0
   emb = [v for k, v in by_name.items() if "embedding" in k][0]
   assert "fsdp" in emb and "tensor" not in emb, emb  # ZeRO fallback
+
+
+def test_launch_env_rank_discovery(monkeypatch):
+  """launch.py works without mpi4py: rank/size/coordinator from env vars
+  (reference ibrun.py:30-33 needs mpi4py; srun/mpirun set these per task)."""
+  import os
+
+  from small_vision_tpu import launch
+
+  for k in list(os.environ):
+    if k.startswith(("OMPI_", "SLURM_", "PMI_")) or k == "SV_COORDINATOR_ADDRESS":
+      monkeypatch.delenv(k, raising=False)
+  assert launch.env_rank_size() is None
+
+  monkeypatch.setenv("OMPI_COMM_WORLD_RANK", "3")
+  monkeypatch.setenv("OMPI_COMM_WORLD_SIZE", "8")
+  monkeypatch.setenv("OMPI_COMM_WORLD_LOCAL_RANK", "1")
+  assert launch.env_rank_size() == (3, 8, 1)
+  monkeypatch.delenv("OMPI_COMM_WORLD_RANK")
+  monkeypatch.delenv("OMPI_COMM_WORLD_SIZE")
+
+  monkeypatch.setenv("SLURM_PROCID", "5")
+  monkeypatch.setenv("SLURM_NTASKS", "16")
+  assert launch.env_rank_size() == (5, 16, 0)
+
+  # Coordinator resolution: explicit env beats nodelist; nodelist brackets.
+  monkeypatch.setenv("SLURM_NODELIST", "node[003-008,011]")
+  assert launch.coordinator_address(29500) == "node003:29500"
+  assert launch.first_host("a1,b2") == "a1"
+  assert launch.first_host("gpu-07") == "gpu-07"
+  monkeypatch.setenv("SV_COORDINATOR_ADDRESS", "10.0.0.1")
+  assert launch.coordinator_address(29500) == "10.0.0.1:29500"
+  monkeypatch.setenv("SV_COORDINATOR_ADDRESS", "10.0.0.1:4000")
+  assert launch.coordinator_address(29500) == "10.0.0.1:4000"
