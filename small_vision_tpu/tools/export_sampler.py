@@ -1,0 +1,160 @@
+"""AOT sampler export for serving (`jax.export`).
+
+Produces a self-contained deployable artifact: the jitted DDIM sampler
+(uncond / class-conditional / CFG, optionally int8-quantized) with the
+checkpoint's EMA weights baked in as constants, serialized with
+`jax.export`. Deserializing needs only jax — no model code, no config, no
+checkpoint tree — and runs on the platform(s) the artifact was lowered for:
+
+  python -m small_vision_tpu.tools.export_sampler \\
+      --config ae_i1k.py:variant=B/4,use_labels=True,quant=int8_all \\
+      --workdir /path/to/train_run --fn cfg_eps_2.0 --batch_size 64 \\
+      --out /path/to/sampler.jaxexport
+
+  # at the serving site:
+  from small_vision_tpu.tools.export_sampler import load_exported
+  sample = load_exported("/path/to/sampler.jaxexport")
+  images = sample(seed)           # uint8 [B, H, W, 3]
+
+The reference is a training repo with no serving/export surface (its
+sampling exists only inside evaluators, big_vision
+evaluators/diffusion_sampling.py + trainers/train_ae.py:485-529); this is
+the TPU-native production path from a training workdir to a single file a
+serving fleet can run.
+"""
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+
+
+def abstract_params(model, config):
+  """Shape/dtype tree of the model's params (mirrors the trainer's init)."""
+  import flax
+
+  def init(rng):
+    dspace = tuple(config.get("diffusion_space", (64, 64, 3)))
+    fake = jnp.zeros((2,) + dspace, jnp.float32)
+    ts = jnp.zeros((2,), jnp.int32)
+    rngs = {"params": rng, "dropout": rng, "mae_noise": rng, "cfg": rng}
+    return flax.core.unfreeze(model.init(
+        rngs, fake, t=ts, train=True,
+        mask=float(config.get("mask_ratio_no_noise", 0.75)) or 0.5))["params"]
+
+  return jax.eval_shape(init, jax.random.PRNGKey(0))
+
+
+def load_params(config, workdir, *, use_ema=True, model=None):
+  """(EMA) params from the latest committed checkpoint in `workdir`.
+
+  Falls back from ema_params to params when the run kept no EMA. Arrays are
+  restored host-local and unsharded (serving loads onto its own topology).
+  """
+  from small_vision_tpu.train import train_ae
+  from small_vision_tpu.utils import checkpoint as ckpt_lib
+
+  model = model or train_ae.build_model(config)
+  abstract = abstract_params(model, config)
+  mngr = ckpt_lib.make_manager(workdir)  # manager reads {workdir}/checkpoints
+  step = ckpt_lib.latest_step(mngr)
+  if step is None:
+    raise FileNotFoundError(f"no committed checkpoint under {workdir}")
+  keys = ("ema_params", "params") if use_ema else ("params",)
+  err = None
+  for key in keys:
+    try:
+      return ckpt_lib.restore_subtree(mngr, key, abstract), step, key
+    except Exception as e:  # noqa: BLE001 — key absent in this checkpoint.
+      err = e
+  raise KeyError(f"none of {keys} restorable from step {step}: {err}")
+
+
+def build_sample_callable(config, params, *, fn="uncond_eps",
+                          batch_size=None):
+  """rng(uint32[2]) -> uint8 images [B,H,W,C], weights closed over.
+
+  `fn` is any key of the trainer's predict-fn suite (uncond_eps, cond_eps,
+  cfg_eps_1.5, ...). The returned callable is pure and jit/export-ready.
+  """
+  from small_vision_tpu.ops import diffusion as gd_lib
+  from small_vision_tpu.train import train_ae
+
+  if batch_size:
+    config.num_samples_per_call = int(batch_size)
+  model = train_ae.build_model(config)
+  eval_fns = train_ae.make_eval_fns(model, config)
+  if fn not in eval_fns:
+    raise KeyError(f"unknown sampler fn {fn!r}; available: "
+                   f"{sorted(k for k in eval_fns if 'eps' in k or 'x0' in k)}")
+  sample_fn = eval_fns[fn]
+  sched = dict(config.get("diff_schedule", {}))
+  gd = gd_lib.GaussianDiffusion.create(
+      sched.get("beta_schedule", "cosine"), int(sched.get("timesteps", 1000)))
+
+  def sample(rng):
+    state = {"params": params, "gd": gd, "rng": rng}
+    return sample_fn(state, rng)["fid_samples"]
+
+  return sample
+
+
+def export_sampler(config, params, out_path, *, fn="uncond_eps",
+                   batch_size=None, platforms=None):
+  """Serializes the baked-weights sampler with jax.export; returns it."""
+  from jax import export as jexport
+
+  sample = build_sample_callable(config, params, fn=fn,
+                                 batch_size=batch_size)
+  rng_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
+  exp = jexport.export(jax.jit(sample), platforms=platforms)(rng_spec)
+  blob = exp.serialize()
+  if out_path:
+    with open(out_path, "wb") as f:
+      f.write(blob)
+  return exp
+
+
+def load_exported(path):
+  """Deserializes an exported sampler into `sample(seed:int) -> uint8[B...]`.
+
+  Needs only jax at the serving site.
+  """
+  from jax import export as jexport
+
+  with open(path, "rb") as f:
+    exp = jexport.deserialize(f.read())
+
+  def sample(seed: int):
+    return exp.call(jax.random.PRNGKey(seed))
+
+  return sample
+
+
+def main(argv=None):
+  parser = argparse.ArgumentParser()
+  parser.add_argument("--config", required=True)
+  parser.add_argument("--workdir", required=True)
+  parser.add_argument("--out", required=True)
+  parser.add_argument("--fn", default="uncond_eps")
+  parser.add_argument("--batch_size", type=int, default=64)
+  parser.add_argument("--no_ema", action="store_true")
+  parser.add_argument("--platforms", default="",
+                      help="comma list (e.g. tpu,cpu); default: current")
+  args = parser.parse_args(argv)
+
+  from small_vision_tpu.cli import parse_config
+  config = parse_config(args.config)
+  params, step, key = load_params(config, args.workdir,
+                                  use_ema=not args.no_ema)
+  platforms = [p for p in args.platforms.split(",") if p] or None
+  export_sampler(config, params, args.out, fn=args.fn,
+                 batch_size=args.batch_size, platforms=platforms)
+  size = os.path.getsize(args.out)
+  print(f"exported {args.fn} (weights: {key} @ step {step}) "
+        f"bs={args.batch_size} -> {args.out} ({size / 1e6:.1f} MB)")
+
+
+if __name__ == "__main__":
+  main()

@@ -1,0 +1,165 @@
+"""Serving surface: jax.export sampler artifacts + the dynamic-batching
+server (tools/export_sampler.py, tools/serve.py).
+
+The reference has no serving/export path (sampling exists only inside its
+training evaluators, big_vision evaluators/diffusion_sampling.py); these
+test the TPU-native deployment story: checkpoint -> self-contained AOT
+artifact -> batched service.
+"""
+
+import io
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from small_vision_tpu.cli import parse_config
+from small_vision_tpu.tools import export_sampler, serve
+
+
+def tiny_config(batch=4, steps=5):
+  config = parse_config(
+      "ae_i1k.py:runlocal=True,data=synthetic,size=16,attn_impl=xla")
+  config.num_samples_per_call = batch
+  config.num_samples = 2
+  config.diff_schedule.sampling_timesteps = steps
+  return config
+
+
+def tiny_params(config):
+  from small_vision_tpu.train import train_ae
+  model = train_ae.build_model(config)
+  abstract = export_sampler.abstract_params(model, config)
+  # Deterministic small random values, cheap (no model.init trace needed
+  # beyond shapes): good enough for shape/protocol tests.
+  leaves, treedef = jax.tree.flatten(abstract)
+  rng = np.random.default_rng(0)
+  vals = [jnp.asarray(rng.normal(0, 0.02, l.shape).astype(l.dtype))
+          for l in leaves]
+  return jax.tree.unflatten(treedef, vals)
+
+
+def test_export_roundtrip(tmp_path):
+  config = tiny_config()
+  params = tiny_params(config)
+  out = str(tmp_path / "sampler.jaxexport")
+  export_sampler.export_sampler(config, params, out, fn="uncond_eps",
+                                batch_size=4)
+
+  sample = export_sampler.load_exported(out)
+  images = np.asarray(sample(0))
+  assert images.shape == (4, 16, 16, 3) and images.dtype == np.uint8
+
+  # The artifact computes the SAME function as the live jitted sampler.
+  live = jax.jit(export_sampler.build_sample_callable(
+      config, params, fn="uncond_eps", batch_size=4))
+  np.testing.assert_array_equal(
+      images, np.asarray(live(jax.random.PRNGKey(0))))
+
+
+def test_export_from_checkpoint_prefers_ema(tmp_path):
+  from small_vision_tpu.utils import checkpoint as ckpt_lib
+  config = tiny_config()
+  params = tiny_params(config)
+  ema = jax.tree.map(lambda x: x + 1.0, params)
+  mngr = ckpt_lib.make_manager(str(tmp_path))
+  ckpt_lib.save(mngr, {"params": params, "ema_params": ema,
+                       "rng": jax.random.PRNGKey(0)}, step=7)
+  ckpt_lib.wait_until_finished(mngr)
+
+  loaded, step, key = export_sampler.load_params(config, str(tmp_path))
+  assert (step, key) == (7, "ema_params")
+  first = jax.tree.leaves(params)[0]
+  np.testing.assert_allclose(jax.tree.leaves(loaded)[0],
+                             np.asarray(first) + 1.0)
+
+  loaded, _, key = export_sampler.load_params(config, str(tmp_path),
+                                              use_ema=False)
+  assert key == "params"
+  np.testing.assert_allclose(jax.tree.leaves(loaded)[0], np.asarray(first))
+
+
+def _fake_sampler(batch=8):
+  calls = []
+
+  def sample_fn(rng):
+    calls.append(1)
+    base = jax.random.randint(rng, (batch, 4, 4, 3), 0, 255, jnp.int32)
+    return base.astype(jnp.uint8)
+
+  return sample_fn, calls
+
+
+def test_server_coalesces_requests():
+  sample_fn, calls = _fake_sampler(batch=8)
+  srv = serve.SamplerServer(sample_fn, 8, max_wait_ms=300.0)
+  try:
+    results = {}
+
+    def ask(name, n):
+      results[name] = srv.sample(n, timeout=60)
+
+    threads = [threading.Thread(target=ask, args=(f"r{i}", n))
+               for i, n in enumerate([3, 3, 2])]
+    for t in threads:
+      t.start()
+    for t in threads:
+      t.join(60)
+    assert sorted(r.shape[0] for r in results.values()) == [2, 3, 3]
+    # All three rode ONE sampler call (coalesced within the wait window),
+    # and their slices are disjoint rows of that one batch.
+    assert sum(calls) == 1
+    allrows = np.concatenate(list(results.values()), axis=0)
+    assert allrows.shape[0] == 8
+    assert len({r.tobytes() for r in allrows}) == 8
+    assert srv.stats["batches"] == 1 and srv.stats["images"] == 8
+  finally:
+    srv.close()
+
+
+def test_server_rejects_oversize_and_propagates_errors():
+  def bad_fn(rng):
+    raise RuntimeError("boom")
+
+  srv = serve.SamplerServer(bad_fn, 4, max_wait_ms=10.0)
+  try:
+    with pytest.raises(ValueError):
+      srv.sample(5)
+    with pytest.raises(RuntimeError, match="boom"):
+      srv.sample(2, timeout=30)
+  finally:
+    srv.close()
+
+
+def test_http_endpoints():
+  sample_fn, _ = _fake_sampler(batch=8)
+  srv = serve.SamplerServer(sample_fn, 8, max_wait_ms=10.0)
+  httpd = serve.make_http_server(srv, 0)
+  port = httpd.server_address[1]
+  t = threading.Thread(target=httpd.serve_forever, daemon=True)
+  t.start()
+  try:
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+      assert json.load(r)["ok"] is True
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/sample",
+        data=json.dumps({"n": 3, "seed": 5}).encode(),
+        method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+      blob = r.read()
+    images = np.load(io.BytesIO(blob))["images"]
+    assert images.shape == (3, 4, 4, 3) and images.dtype == np.uint8
+
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/stats", timeout=30) as r:
+      stats = json.load(r)
+    assert stats["requests"] == 1 and stats["images"] == 3
+  finally:
+    httpd.shutdown()
+    srv.close()
