@@ -1,0 +1,123 @@
+"""Serving-path benchmark on the real chip.
+
+Measures the production sampling story end-to-end:
+  1. export: UMD-B/4 CFG-less sampler (125-step DDIM, int8_all quant,
+     bs64) -> jax.export artifact (weights baked in); reports export time
+     and artifact size.
+  2. artifact throughput: deserialized exp.call timed over N calls —
+     should match bench.py's sampler_125step_imgs_per_sec_int8 (the
+     artifact adds no overhead vs the live jit).
+  3. service latency: the SamplerServer dynamic-batching loop under
+     concurrent mixed-size requests — throughput, mean/p95 request
+     latency, mean batch fill.
+
+Writes perf/serving_bench.json and prints one JSON line.
+
+Usage (chip must be free):  python scripts/serving_bench.py
+"""
+
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+  import jax
+  os.makedirs(os.path.join(REPO, ".jax_cache"), exist_ok=True)
+  jax.config.update("jax_compilation_cache_dir",
+                    os.path.join(REPO, ".jax_cache"))
+
+  from small_vision_tpu.cli import parse_config
+  from small_vision_tpu.tools import export_sampler, serve
+
+  quant = os.environ.get("SV_SERVE_QUANT", "int8_all")
+  bs = int(os.environ.get("SV_SERVE_BS", 64))
+  config = parse_config(
+      f"ae_i1k.py:variant=B/4,size=64,data=synthetic"
+      + (f",quant={quant}" if quant else ""))
+  config.num_samples_per_call = bs
+  from small_vision_tpu.train import train_ae
+  model = train_ae.build_model(config)
+  abstract = export_sampler.abstract_params(model, config)
+  rngn = np.random.default_rng(0)
+  import jax.numpy as jnp
+  params = jax.tree.map(
+      lambda l: jnp.asarray(rngn.normal(0, 0.02, l.shape).astype(l.dtype)),
+      abstract)
+
+  # 1. export
+  path = "/tmp/sampler_bench.jaxexport"
+  t0 = time.perf_counter()
+  export_sampler.export_sampler(config, params, path, fn="uncond_eps",
+                                batch_size=bs)
+  export_s = time.perf_counter() - t0
+  size_mb = os.path.getsize(path) / 1e6
+
+  # 2. artifact throughput
+  sample = export_sampler.load_exported(path)
+  np.asarray(sample(0))  # compile/warm
+  rates = []
+  for i in range(3):
+    t0 = time.perf_counter()
+    np.asarray(sample(i + 1))
+    rates.append(bs / (time.perf_counter() - t0))
+  artifact_rate = float(np.median(rates))
+
+  # 3. service under concurrent load
+  from jax import export as jexport
+  with open(path, "rb") as f:
+    exp = jexport.deserialize(f.read())
+  srv = serve.SamplerServer(exp.call, bs, max_wait_ms=100.0)
+  srv.sample(1, seed=0)  # warm
+  lat = []
+  lock = threading.Lock()
+  sizes = [16, 32, 8, 64, 24, 40, 16, 48, 64, 32, 8, 56]  # 408 imgs
+
+  def client(n):
+    t0 = time.perf_counter()
+    out = srv.sample(n, timeout=600)
+    assert out.shape[0] == n
+    with lock:
+      lat.append((time.perf_counter() - t0) * 1e3)
+
+  t0 = time.perf_counter()
+  threads = [threading.Thread(target=client, args=(n,)) for n in sizes]
+  for t in threads:
+    t.start()
+    time.sleep(0.05)  # staggered arrivals, like real traffic
+  for t in threads:
+    t.join(600)
+  wall = time.perf_counter() - t0
+  srv.close()
+
+  total_imgs = sum(sizes)
+  result = {
+      "metric": "serving (125-step DDIM, UMD-B/4@64, bs%d, %s)" % (
+          bs, quant or "bf16"),
+      "artifact_mb": round(size_mb, 1),
+      "export_s": round(export_s, 1),
+      "artifact_imgs_per_sec": round(artifact_rate, 2),
+      "artifact_windows": [round(r, 2) for r in rates],
+      "service_imgs_per_sec": round(total_imgs / wall, 2),
+      "service_latency_ms_mean": round(float(np.mean(lat)), 1),
+      "service_latency_ms_p95": round(float(np.percentile(lat, 95)), 1),
+      "service_batches": srv.stats["batches"],
+      "service_batch_fill_mean": round(
+          srv.stats["batch_fill_sum"] / max(srv.stats["batches"], 1), 3),
+      "n_requests": len(sizes), "total_imgs": total_imgs,
+  }
+  out = os.path.join(REPO, "perf", "serving_bench.json")
+  with open(out, "w") as f:
+    json.dump(result, f, indent=1)
+  print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+  main()

@@ -101,14 +101,26 @@ def build_sample_callable(config, params, *, fn="uncond_eps",
 
 
 def export_sampler(config, params, out_path, *, fn="uncond_eps",
-                   batch_size=None, platforms=None):
-  """Serializes the baked-weights sampler with jax.export; returns it."""
+                   batch_size=None, platforms=None,
+                   allow_custom_calls=("tpu_custom_call",)):
+  """Serializes the baked-weights sampler with jax.export; returns it.
+
+  `allow_custom_calls`: custom-call targets to exempt from jax.export's
+  forward-compatibility check. The Pallas attention kernels lower to
+  `tpu_custom_call`, which carries no cross-libtpu-version guarantee — fine
+  when the serving fleet pins the same libtpu as the exporter (the normal
+  production setup); pass `attn_impl=xla` in the config for an artifact
+  with no custom calls at all.
+  """
   from jax import export as jexport
 
   sample = build_sample_callable(config, params, fn=fn,
                                  batch_size=batch_size)
   rng_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
-  exp = jexport.export(jax.jit(sample), platforms=platforms)(rng_spec)
+  disabled = [jexport.DisabledSafetyCheck.custom_call(t)
+              for t in (allow_custom_calls or ())]
+  exp = jexport.export(jax.jit(sample), platforms=platforms,
+                       disabled_checks=disabled)(rng_spec)
   blob = exp.serialize()
   if out_path:
     with open(out_path, "wb") as f:
