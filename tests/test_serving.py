@@ -96,7 +96,9 @@ def _fake_sampler(batch=8):
 
 def test_server_coalesces_requests():
   sample_fn, calls = _fake_sampler(batch=8)
-  srv = serve.SamplerServer(sample_fn, 8, max_wait_ms=300.0)
+  # Generous wait: the batch fires EARLY once 3+3+2 fills it, so this only
+  # bounds the flake window on a loaded CI box, not the happy-path latency.
+  srv = serve.SamplerServer(sample_fn, 8, max_wait_ms=5000.0)
   try:
     results = {}
 
