@@ -2,14 +2,20 @@
 
 Measures the production sampling story end-to-end:
   1. export: UMD-B/4 CFG-less sampler (125-step DDIM, int8_all quant,
-     bs64) -> jax.export artifact (weights baked in); reports export time
-     and artifact size.
-  2. artifact throughput: deserialized exp.call timed over N calls —
-     should match bench.py's sampler_125step_imgs_per_sec_int8 (the
-     artifact adds no overhead vs the live jit).
+     bs64) -> jax.export artifact in weights_mode="arg" (program-only
+     artifact + .npz weights sidecar); reports export time and sizes.
+  2. artifact throughput: deserialized exp.call (weights device_put once)
+     timed over N calls — should match bench.py's
+     sampler_125step_imgs_per_sec_int8 (the artifact adds no overhead vs
+     the live jit).
   3. service latency: the SamplerServer dynamic-batching loop under
      concurrent mixed-size requests — throughput, mean/p95 request
      latency, mean batch fill.
+
+weights_mode="baked" at UMD-B scale was measured unusable through the
+tunneled chip: the 697 MB constants-in-module StableHLO blob ran >25 min
+in remote_compile and then broke the tunnel's HTTP pipe. Baked mode stays
+for small/edge bundles; arg mode is the production default.
 
 Writes perf/serving_bench.json and prints one JSON line.
 
@@ -52,16 +58,19 @@ def main():
       lambda l: jnp.asarray(rngn.normal(0, 0.02, l.shape).astype(l.dtype)),
       abstract)
 
-  # 1. export
+  # 1. export (arg mode: program artifact + weights sidecar)
   path = "/tmp/sampler_bench.jaxexport"
+  wts = "/tmp/sampler_bench_weights.npz"
   t0 = time.perf_counter()
   export_sampler.export_sampler(config, params, path, fn="uncond_eps",
-                                batch_size=bs)
+                                batch_size=bs, weights_mode="arg",
+                                weights_out=wts)
   export_s = time.perf_counter() - t0
   size_mb = os.path.getsize(path) / 1e6
+  weights_mb = os.path.getsize(wts) / 1e6
 
   # 2. artifact throughput
-  sample = export_sampler.load_exported(path)
+  sample = export_sampler.load_exported(path, weights=wts)
   np.asarray(sample(0))  # compile/warm
   rates = []
   for i in range(3):
@@ -71,10 +80,8 @@ def main():
   artifact_rate = float(np.median(rates))
 
   # 3. service under concurrent load
-  from jax import export as jexport
-  with open(path, "rb") as f:
-    exp = jexport.deserialize(f.read())
-  srv = serve.SamplerServer(exp.call, bs, max_wait_ms=100.0)
+  keyed = export_sampler.load_exported_keyed(path, weights=wts)
+  srv = serve.SamplerServer(keyed, bs, max_wait_ms=100.0)
   srv.sample(1, seed=0)  # warm
   lat = []
   lock = threading.Lock()
@@ -101,7 +108,9 @@ def main():
   result = {
       "metric": "serving (125-step DDIM, UMD-B/4@64, bs%d, %s)" % (
           bs, quant or "bf16"),
+      "weights_mode": "arg",
       "artifact_mb": round(size_mb, 1),
+      "weights_mb": round(weights_mb, 1),
       "export_s": round(export_s, 1),
       "artifact_imgs_per_sec": round(artifact_rate, 2),
       "artifact_windows": [round(r, 2) for r in rates],

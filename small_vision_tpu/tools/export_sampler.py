@@ -71,9 +71,8 @@ def load_params(config, workdir, *, use_ema=True, model=None):
   raise KeyError(f"none of {keys} restorable from step {step}: {err}")
 
 
-def build_sample_callable(config, params, *, fn="uncond_eps",
-                          batch_size=None):
-  """rng(uint32[2]) -> uint8 images [B,H,W,C], weights closed over.
+def build_sample_callable_p(config, *, fn="uncond_eps", batch_size=None):
+  """(params, rng(uint32[2])) -> uint8 images [B,H,W,C].
 
   `fn` is any key of the trainer's predict-fn suite (uncond_eps, cond_eps,
   cfg_eps_1.5, ...). The returned callable is pure and jit/export-ready.
@@ -93,17 +92,37 @@ def build_sample_callable(config, params, *, fn="uncond_eps",
   gd = gd_lib.GaussianDiffusion.create(
       sched.get("beta_schedule", "cosine"), int(sched.get("timesteps", 1000)))
 
-  def sample(rng):
+  def sample(params, rng):
     state = {"params": params, "gd": gd, "rng": rng}
     return sample_fn(state, rng)["fid_samples"]
 
   return sample
 
 
+def build_sample_callable(config, params, *, fn="uncond_eps",
+                          batch_size=None):
+  """rng(uint32[2]) -> uint8 images [B,H,W,C], weights closed over."""
+  sample_p = build_sample_callable_p(config, fn=fn, batch_size=batch_size)
+  return lambda rng: sample_p(params, rng)
+
+
 def export_sampler(config, params, out_path, *, fn="uncond_eps",
                    batch_size=None, platforms=None,
-                   allow_custom_calls=("tpu_custom_call",)):
-  """Serializes the baked-weights sampler with jax.export; returns it.
+                   allow_custom_calls=("tpu_custom_call",),
+                   weights_mode="baked", weights_out=None):
+  """Serializes the sampler with jax.export; returns the Exported.
+
+  `weights_mode`:
+    - "baked": weights are constants inside the artifact — one fully
+      self-contained file, but the StableHLO module carries the full
+      parameter bytes (~700 MB at UMD-B f32), which every compile at the
+      serving site must re-ingest. Right for small models / edge bundles.
+    - "arg": the exported callable takes (params, rng); the artifact is a
+      few MB of program and the weights ship separately (`weights_out`
+      writes them as a flat .npz, the reference zoo format,
+      utils/checkpoint.py save_params_npz). The serving site device_puts
+      weights ONCE and reuses them across calls — the production-right
+      split (weights rotate independently of the program artifact).
 
   `allow_custom_calls`: custom-call targets to exempt from jax.export's
   forward-compatibility check. The Pallas attention kernels lower to
@@ -114,13 +133,26 @@ def export_sampler(config, params, out_path, *, fn="uncond_eps",
   """
   from jax import export as jexport
 
-  sample = build_sample_callable(config, params, fn=fn,
-                                 batch_size=batch_size)
   rng_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
   disabled = [jexport.DisabledSafetyCheck.custom_call(t)
               for t in (allow_custom_calls or ())]
-  exp = jexport.export(jax.jit(sample), platforms=platforms,
-                       disabled_checks=disabled)(rng_spec)
+  if weights_mode == "baked":
+    sample = build_sample_callable(config, params, fn=fn,
+                                   batch_size=batch_size)
+    exp = jexport.export(jax.jit(sample), platforms=platforms,
+                         disabled_checks=disabled)(rng_spec)
+  elif weights_mode == "arg":
+    sample_p = build_sample_callable_p(config, fn=fn, batch_size=batch_size)
+    param_specs = jax.tree.map(
+        lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype), params)
+    exp = jexport.export(jax.jit(sample_p), platforms=platforms,
+                         disabled_checks=disabled)(param_specs, rng_spec)
+    if weights_out:
+      from small_vision_tpu.utils import checkpoint as ckpt_lib
+      ckpt_lib.save_params_npz(weights_out, params)
+  else:
+    raise ValueError(f"weights_mode must be 'baked' or 'arg', "
+                     f"got {weights_mode!r}")
   blob = exp.serialize()
   if out_path:
     with open(out_path, "wb") as f:
@@ -128,20 +160,43 @@ def export_sampler(config, params, out_path, *, fn="uncond_eps",
   return exp
 
 
-def load_exported(path):
-  """Deserializes an exported sampler into `sample(seed:int) -> uint8[B...]`.
+def load_exported_keyed(path, weights=None):
+  """Deserializes an exported sampler into `f(key: uint32[2]) -> uint8[B...]`.
 
-  Needs only jax at the serving site.
+  Needs only jax at the serving site (plus numpy for .npz weights). For an
+  arg-mode artifact pass `weights`: a params pytree or a path to the .npz
+  written by `export_sampler(..., weights_out=...)`; they are device_put
+  once here and bound into the returned callable, reused across calls.
   """
   from jax import export as jexport
 
   with open(path, "rb") as f:
     exp = jexport.deserialize(f.read())
 
-  def sample(seed: int):
-    return exp.call(jax.random.PRNGKey(seed))
+  takes_params = len(exp.in_avals) > 1
+  if takes_params:
+    if weights is None:
+      raise ValueError(
+          f"{path} was exported with weights_mode='arg'; pass weights= "
+          "(a params pytree or a .npz path from weights_out)")
+    if isinstance(weights, (str, os.PathLike)):
+      from small_vision_tpu.utils import checkpoint as ckpt_lib
+      weights = ckpt_lib.load_params_npz(weights)
+    weights = jax.device_put(weights)
+    return lambda key: exp.call(weights, key)
+  if weights is not None:
+    raise ValueError(f"{path} is a baked-weights artifact; weights= "
+                     "must not be passed")
+  return exp.call
 
-  return sample
+
+def load_exported(path, weights=None):
+  """Deserializes an exported sampler into `sample(seed:int) -> uint8[B...]`.
+
+  See `load_exported_keyed` for the weights= contract.
+  """
+  keyed = load_exported_keyed(path, weights=weights)
+  return lambda seed: keyed(jax.random.PRNGKey(seed))
 
 
 def main(argv=None):
@@ -154,6 +209,10 @@ def main(argv=None):
   parser.add_argument("--no_ema", action="store_true")
   parser.add_argument("--platforms", default="",
                       help="comma list (e.g. tpu,cpu); default: current")
+  parser.add_argument("--weights_mode", default="baked",
+                      choices=("baked", "arg"))
+  parser.add_argument("--weights_out", default="",
+                      help="arg mode: also write weights as flat .npz here")
   args = parser.parse_args(argv)
 
   from small_vision_tpu.cli import parse_config
@@ -162,10 +221,13 @@ def main(argv=None):
                                   use_ema=not args.no_ema)
   platforms = [p for p in args.platforms.split(",") if p] or None
   export_sampler(config, params, args.out, fn=args.fn,
-                 batch_size=args.batch_size, platforms=platforms)
+                 batch_size=args.batch_size, platforms=platforms,
+                 weights_mode=args.weights_mode,
+                 weights_out=args.weights_out or None)
   size = os.path.getsize(args.out)
-  print(f"exported {args.fn} (weights: {key} @ step {step}) "
-        f"bs={args.batch_size} -> {args.out} ({size / 1e6:.1f} MB)")
+  print(f"exported {args.fn} (weights: {key} @ step {step}, "
+        f"{args.weights_mode}) bs={args.batch_size} -> {args.out} "
+        f"({size / 1e6:.1f} MB)")
 
 
 if __name__ == "__main__":

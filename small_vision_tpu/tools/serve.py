@@ -146,11 +146,11 @@ def build_sample_fn(args):
   import jax
 
   if args.artifact:
-    from jax import export as jexport
-    with open(args.artifact, "rb") as f:
-      exp = jexport.deserialize(f.read())
-    out = jax.eval_shape(exp.call, jax.ShapeDtypeStruct((2,), np.uint32))
-    return exp.call, int(out.shape[0])
+    from small_vision_tpu.tools import export_sampler
+    sample = export_sampler.load_exported_keyed(
+        args.artifact, weights=getattr(args, "weights", None) or None)
+    out = jax.eval_shape(sample, jax.ShapeDtypeStruct((2,), np.uint32))
+    return sample, int(out.shape[0])
 
   from small_vision_tpu.cli import parse_config
   from small_vision_tpu.tools import export_sampler
@@ -218,6 +218,8 @@ def main(argv=None):
   parser.add_argument("--workdir", default=None)
   parser.add_argument("--artifact", default=None,
                       help="jax.export artifact (tools/export_sampler.py)")
+  parser.add_argument("--weights", default=None,
+                      help=".npz weights sidecar for arg-mode artifacts")
   parser.add_argument("--fn", default="uncond_eps")
   parser.add_argument("--batch_size", type=int, default=64)
   parser.add_argument("--max_wait_ms", type=float, default=200.0)

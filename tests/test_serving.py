@@ -9,6 +9,7 @@ artifact -> batched service.
 
 import io
 import json
+import os
 import threading
 import urllib.request
 
@@ -59,6 +60,36 @@ def test_export_roundtrip(tmp_path):
       config, params, fn="uncond_eps", batch_size=4))
   np.testing.assert_array_equal(
       images, np.asarray(live(jax.random.PRNGKey(0))))
+
+
+def test_export_arg_weights_roundtrip(tmp_path):
+  """arg-mode artifact: program-only file + .npz weights sidecar."""
+  config = tiny_config()
+  params = tiny_params(config)
+  out = str(tmp_path / "sampler_arg.jaxexport")
+  wts = str(tmp_path / "weights.npz")
+  export_sampler.export_sampler(config, params, out, fn="uncond_eps",
+                                batch_size=4, weights_mode="arg",
+                                weights_out=wts)
+
+  # The program-only artifact must be far smaller than the baked one.
+  baked = str(tmp_path / "sampler_baked.jaxexport")
+  export_sampler.export_sampler(config, params, baked, fn="uncond_eps",
+                                batch_size=4)
+  assert os.path.getsize(out) < os.path.getsize(baked)
+
+  # Loading without weights must fail loudly; with the sidecar it matches
+  # the baked artifact bit-for-bit.
+  with pytest.raises(ValueError, match="weights_mode='arg'"):
+    export_sampler.load_exported(out)
+  sample = export_sampler.load_exported(out, weights=wts)
+  images = np.asarray(sample(0))
+  ref = np.asarray(export_sampler.load_exported(baked)(0))
+  np.testing.assert_array_equal(images, ref)
+
+  # Baked artifacts reject a weights= argument.
+  with pytest.raises(ValueError, match="baked-weights"):
+    export_sampler.load_exported(baked, weights=wts)
 
 
 def test_export_from_checkpoint_prefers_ema(tmp_path):
