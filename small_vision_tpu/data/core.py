@@ -9,7 +9,8 @@ source gets global shuffling without a 250k-element shuffle buffer.
 
 import abc
 import importlib
-from typing import Iterator
+import itertools
+from typing import Iterator, Optional
 
 import jax
 
@@ -52,6 +53,27 @@ class DataSource(abc.ABC):
     ceil(total / process_count).
     """
     return -(-self.total_examples // jax.process_count())
+
+  @property
+  def num_local_examples(self) -> Optional[int]:
+    """THIS process's exact per-epoch example count, or None if unknown.
+
+    Random-access sources (arrays, synthetic) know it exactly and enable
+    O(1) deterministic mid-epoch resume (`TrainIterator.start_step`);
+    streaming sources (tfds, latents) return None and resume falls back to
+    a fresh epoch-0 restart (the reference's tf.data behavior).
+    """
+    return None
+
+  def examples_from(self, *, seed: int, epoch: int,
+                    start: int) -> Iterator[dict]:
+    """Yields epoch `epoch`'s local examples starting at position `start`.
+
+    Default skips by consuming the iterator; random-access sources override
+    with an index slice so resume costs no data reads.
+    """
+    return itertools.islice(
+        self.examples(seed=seed, epoch=epoch), start, None)
 
   def peek(self) -> dict:
     """One RAW example from the GLOBAL dataset, available on EVERY process

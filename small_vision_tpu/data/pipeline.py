@@ -46,7 +46,8 @@ class _HostPipeline:
   """Threaded host-stage pp over an example stream, yielding local batches."""
 
   def __init__(self, example_iter_factory, host_pp, local_batch_size,
-               num_workers=8, depth=4, drop_remainder=True, seed=0):
+               num_workers=8, depth=4, drop_remainder=True, seed=0,
+               index_start=0):
     self.factory = example_iter_factory
     self.host_pp = host_pp
     self.bs = local_batch_size
@@ -54,6 +55,7 @@ class _HostPipeline:
     self.depth = depth
     self.drop_remainder = drop_remainder
     self.seed = seed
+    self.index_start = index_start  # stream position on resume (see below)
 
   def __iter__(self):
     out_q = queue.Queue(maxsize=self.depth)
@@ -62,12 +64,18 @@ class _HostPipeline:
     def producer():
       try:
         batch_buf = []
-        for i, ex in enumerate(self.factory()):
+        for i, ex in enumerate(self.factory(), start=self.index_start):
           if stop.is_set():
             return
           ex = dict(ex)
+          # Per-example augmentation rng, keyed (seed, epoch, example id):
+          # the epoch term gives each image FRESH crop/aug draws every epoch
+          # (matching the reference's per-visit tf randomness), and the
+          # stable id (falling back to the stream position, which
+          # `index_start` keeps continuous across a resume) makes the draw
+          # for any given visit independent of worker count or batch size.
           ex["_rng"] = np.random.default_rng(
-              (self.seed, int(ex.get("_id", i))))
+              (self.seed, int(ex.pop("_epoch", 0)), int(ex.get("_id", i))))
           batch_buf.append(ex)
           if len(batch_buf) == self.bs * self.num_workers or (
               self.num_workers == 1 and len(batch_buf) == self.bs):
@@ -135,15 +143,42 @@ class TrainIterator:
     self.num_workers = num_workers
     self.prefetch = prefetch
     self.sharding = batch_sharding(mesh)
+    # Deterministic mid-run resume: the trainer sets this to the restored
+    # step before iterating, and the stream continues EXACTLY where the
+    # first run's data order left off (the reference restarts tf.data from
+    # scratch on preemption, replaying early-epoch examples). Requires a
+    # source that knows its per-epoch local count (random-access sources:
+    # arrays, synthetic); streaming sources warn and restart at epoch 0.
+    self.start_step = 0
 
   def _epochs(self):
-    for epoch in itertools.count():
-      yield from self.source.examples(seed=self.seed, epoch=epoch)
+    consumed = self.start_step * self.local_bs
+    epoch0, skip = 0, 0
+    if consumed:
+      n_local = self.source.num_local_examples
+      if n_local:
+        epoch0, skip = divmod(consumed, n_local)
+      else:
+        import logging
+        logging.warning(
+            "Resuming at step %d but %s does not know its per-epoch length; "
+            "data order restarts at epoch 0 (non-deterministic resume).",
+            self.start_step, type(self.source).__name__)
+    for epoch in itertools.count(epoch0):
+      it = (self.source.examples_from(seed=self.seed, epoch=epoch, start=skip)
+            if skip else self.source.examples(seed=self.seed, epoch=epoch))
+      skip = 0
+      for ex in it:
+        ex = dict(ex)
+        # MixedSource tags inner-cycle epochs itself; don't overwrite.
+        ex.setdefault("_epoch", epoch)
+        yield ex
 
   def __iter__(self):
     host_iter = iter(_HostPipeline(
         self._epochs, self.host_pp, self.local_bs,
-        num_workers=self.num_workers, seed=self.seed))
+        num_workers=self.num_workers, seed=self.seed,
+        index_start=self.start_step * self.local_bs))
 
     def to_device(local_batch):
       return jax.tree.map(
@@ -184,7 +219,10 @@ class MixedSource(ds_core.DataSource):
     assert not ordered, "MixedSource is a training-only (shuffled) source"
     def cycle(src):
       for ep in itertools.count(epoch):
-        yield from src.examples(seed=seed, epoch=ep)
+        for ex in src.examples(seed=seed, epoch=ep):
+          ex = dict(ex)
+          ex["_epoch"] = ep  # fresh per-epoch augmentation draws downstream
+          yield ex
     iters = [cycle(s) for s in self.sources]
     rng = np.random.default_rng((seed, epoch, jax.process_index()))
     while True:

@@ -38,15 +38,28 @@ class DataSource(core.DataSource):
         "_id": np.int64(i),
     }
 
-  def examples(self, *, ordered: bool = False, seed: int = 0,
-               epoch: int = 0) -> Iterator[dict]:
+  @property
+  def num_local_examples(self) -> int:
+    start, stop = core.even_split_range(self.total_examples)
+    return stop - start
+
+  def _epoch_index(self, ordered, seed, epoch):
     # Even split with the remainder spread (tfds.even_splits semantics) so
     # eval covers every example and per-host counts differ by at most one.
     start, stop = core.even_split_range(self.total_examples)
     idx = np.arange(start, stop)
     if not ordered:
       np.random.default_rng((seed, epoch)).shuffle(idx)
-    for i in idx:
+    return idx
+
+  def examples(self, *, ordered: bool = False, seed: int = 0,
+               epoch: int = 0) -> Iterator[dict]:
+    for i in self._epoch_index(ordered, seed, epoch):
+      yield self._example(i)
+
+  def examples_from(self, *, seed: int, epoch: int,
+                    start: int) -> Iterator[dict]:
+    for i in self._epoch_index(False, seed, epoch)[start:]:
       yield self._example(i)
 
   def peek(self) -> dict:

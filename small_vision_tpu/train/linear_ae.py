@@ -210,6 +210,8 @@ def train_and_evaluate(config, workdir: Optional[str] = None, mesh=None):
                       total_steps, default=100)
     ckpt_steps = steps("ckpt", config, ntrain_img, batch_size, total_steps,
                        default=None)
+    if start_step and hasattr(train_iter, "start_step"):
+      train_iter.start_step = start_step  # deterministic data resume
     train_it = iter(train_iter)
     for step in range(start_step + 1, total_steps + 1):
       batch = next(train_it)

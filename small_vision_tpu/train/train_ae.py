@@ -614,6 +614,11 @@ def train_and_evaluate(config, workdir: Optional[str] = None, mesh=None):
     log_steps = get_steps("log_training", 100)
     ckpt_steps = get_steps("ckpt", None)
 
+    if first_step and hasattr(train_iter, "start_step"):
+      # Deterministic data resume: continue the example stream exactly where
+      # the preempted run's step count left off (the reference replays
+      # tf.data from scratch instead).
+      train_iter.start_step = first_step
     train_it = iter(train_iter)
 
     if config.get("profile_flops"):

@@ -167,3 +167,62 @@ def test_training_rejects_unknown_input_keys():
          "pp_fn": "value_range(-1, 1)"}  # typo: should be `pp`
   with pytest.raises(ValueError, match="pp_fn"):
     pipeline.training(cfg, mesh)
+
+
+def _take(it, n):
+  gen = iter(it)
+  return [next(gen) for _ in range(n)]
+
+
+def test_resume_continues_data_order_and_augmentation():
+  """start_step resume reproduces the continuous run's stream exactly.
+
+  Covers both the example ORDER (ids) and the per-example augmentation rng
+  (random_crop draws) across an epoch boundary: 48 examples / local bs 16 =
+  3 steps per epoch; resuming at step 4 must land mid-epoch-1.
+  """
+  mesh = parallel.make_mesh()
+  pp = 'random_crop(12)|value_range(-1, 1)|keep("image", "label", "_id")'
+
+  def make(start):
+    it = pipeline.TrainIterator(
+        _source(48), pp, mesh, 16, seed=3, num_workers=1)
+    it.start_step = start
+    return it
+
+  full = _take(make(0), 7)
+  resumed = _take(make(4), 3)
+  for a, b in zip(full[4:], resumed):
+    np.testing.assert_array_equal(np.asarray(a["_id"]), np.asarray(b["_id"]))
+    np.testing.assert_array_equal(
+        np.asarray(a["image"]), np.asarray(b["image"]))
+
+
+def test_augmentation_rng_differs_across_epochs():
+  """The same example must get FRESH crop draws each epoch (the reference's
+  per-visit tf randomness), not a frozen per-id augmentation."""
+  mesh = parallel.make_mesh()
+  # 16 examples @ bs 16: each batch is one whole epoch.
+  pp = 'random_crop(12)|keep("image", "_id")'
+  it = pipeline.TrainIterator(
+      _source(16), pp, mesh, 16, seed=0, num_workers=1)
+  b0, b1 = _take(it, 2)
+  order0 = np.argsort(np.asarray(b0["_id"]))
+  order1 = np.argsort(np.asarray(b1["_id"]))
+  img0 = np.asarray(b0["image"])[order0]
+  img1 = np.asarray(b1["image"])[order1]
+  # Same examples in both epochs, but at least some crops must differ.
+  assert not np.array_equal(img0, img1)
+
+
+def test_resume_unknown_length_source_warns_and_restarts(caplog):
+  """Sources without a known per-epoch length fall back to epoch-0 restart
+  (the reference's tf.data preemption behavior) with a loud warning."""
+  import logging
+  mesh = parallel.make_mesh()
+  mixed = pipeline.MixedSource([_source(32), _source(32)], [1.0, 1.0])
+  it = pipeline.TrainIterator(mixed, "", mesh, 16, seed=0, num_workers=1)
+  it.start_step = 5
+  with caplog.at_level(logging.WARNING):
+    next(iter(it))
+  assert any("non-deterministic resume" in r.message for r in caplog.records)
