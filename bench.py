@@ -130,11 +130,15 @@ def _build_step(mode: str, batch_size: int, attn_impl: str = "xla"):
   return update_fn, train_state, batch, host_batch, mesh
 
 
-def _time_train(mode, batch_size, steps, attn_impl="xla", windows=3):
+def _time_train(mode, batch_size, steps, attn_impl="xla", windows=3,
+                requalify=False):
   """Times `windows` independent windows of `steps` steps each and returns
   the per-window imgs/sec list. Multiple windows make a real regression
   distinguishable from run-to-run noise on the tunneled chip (the r1→r2
-  driver delta was one ±3% window wide) — report the median + spread."""
+  driver delta was one ±3% window wide) — report the median + spread.
+
+  With requalify=True, returns (rates, info): window sets with spread above
+  SPREAD_THRESHOLD_PCT are re-measured (see _requalify)."""
   from small_vision_tpu import parallel
   update_fn, train_state, batch, host_batch, mesh = _build_step(
       mode, batch_size, attn_impl)
@@ -149,27 +153,80 @@ def _time_train(mode, batch_size, steps, attn_impl="xla", windows=3):
         lambda x: jax.make_array_from_process_local_data(sharding, x),
         host_batch)
 
+  state = {"ts": train_state}
   for _ in range(3):
-    train_state, m = update_fn(train_state, fresh())
+    state["ts"], m = update_fn(state["ts"], fresh())
     float(jax.device_get(m["training_loss"]))
-  rates = []
-  for _ in range(windows):
-    # Chained steps with one closing sync: block_until_ready is unreliable
-    # on the tunneled backend, but device_get of a scalar output of the LAST
-    # step transitively waits for the whole chain (state dependency).
-    t0 = time.perf_counter()
-    for _ in range(steps):
-      train_state, m = update_fn(train_state, fresh())
-    loss = float(jax.device_get(m["training_loss"]))
-    dt = time.perf_counter() - t0
-    assert np.isfinite(loss), f"bench loss not finite: {loss}"
-    rates.append(batch_size * steps / dt)
-  return rates
+
+  def run_windows(n):
+    rates = []
+    for _ in range(n):
+      # Chained steps with one closing sync: block_until_ready is unreliable
+      # on the tunneled backend, but device_get of a scalar output of the
+      # LAST step transitively waits for the whole chain (state dependency).
+      t0 = time.perf_counter()
+      for _ in range(steps):
+        state["ts"], m = update_fn(state["ts"], fresh())
+      loss = float(jax.device_get(m["training_loss"]))
+      dt = time.perf_counter() - t0
+      assert np.isfinite(loss), f"bench loss not finite: {loss}"
+      rates.append(batch_size * steps / dt)
+    return rates
+
+  if requalify:
+    return _requalify(run_windows, windows)
+  return run_windows(windows)
 
 
 def _spread_pct(rates):
   med = float(np.median(rates))
   return 100.0 * (max(rates) - min(rates)) / med if med else 0.0
+
+
+# Requalification: the r2/r3 driver-scored numbers were each ambiguous
+# because a single contended window skewed the median (r3: spread 6.09% vs
+# the clean-host 1.58%). The bench now defends its own median: if the window
+# spread exceeds SPREAD_THRESHOLD_PCT, re-measure the whole window set
+# (bounded retries) and keep the tightest set; if no set qualifies, flag
+# `host_contended` in the JSON instead of silently shipping a skewed median.
+SPREAD_THRESHOLD_PCT = 2.0
+MAX_REQUALIFY_RETRIES = 3
+
+
+def _requalify(run_windows, windows, threshold=SPREAD_THRESHOLD_PCT,
+               max_retries=MAX_REQUALIFY_RETRIES):
+  """Measures window sets via `run_windows(n)` until one has spread below
+  `threshold` (or retries are exhausted, keeping the tightest set seen).
+
+  Returns (rates, info) where info = {"requalify_retries": int,
+  "host_contended": bool, "discarded_window_sets": [spreads...]}.
+  Unit-tested with a fake run_windows in tests/test_bench_requalify.py.
+  """
+  best = run_windows(windows)
+  discarded = []
+  retries = 0
+  while _spread_pct(best) > threshold and retries < max_retries:
+    retries += 1
+    candidate = run_windows(windows)
+    if _spread_pct(candidate) < _spread_pct(best):
+      discarded.append(round(_spread_pct(best), 2))
+      best = candidate
+    else:
+      discarded.append(round(_spread_pct(candidate), 2))
+  info = {
+      "requalify_retries": retries,
+      "host_contended": _spread_pct(best) > threshold,
+      "discarded_window_sets": discarded,
+  }
+  return best, info
+
+
+def _loadavg():
+  try:
+    with open("/proc/loadavg") as f:
+      return float(f.read().split()[0])
+  except (OSError, ValueError, IndexError):
+    return -1.0
 
 
 def _time_sampler(batch_size=None, sampling_steps=125, quant=None):
@@ -242,9 +299,10 @@ def main():
   attn = os.environ.get("SV_BENCH_ATTN", "pallas")
   n_chips = jax.device_count()
 
+  load_start = _loadavg()
   try:
-    native_rates = _time_train("native", batch, steps, attn_impl=attn,
-                               windows=windows)
+    native_rates, qual = _time_train("native", batch, steps, attn_impl=attn,
+                                     windows=windows, requalify=True)
   except Exception:  # noqa: BLE001 — e.g. remote Mosaic compile failure.
     if attn == "xla":
       raise
@@ -257,21 +315,27 @@ def main():
     import gc
     gc.collect()
     attn = "xla"
-    native_rates = _time_train("native", batch, steps, attn_impl=attn,
-                               windows=windows)
+    native_rates, qual = _time_train("native", batch, steps, attn_impl=attn,
+                                     windows=windows, requalify=True)
   native = float(np.median(native_rates))
   extras = {
       "attn_impl": attn,
       "windows_imgs_per_sec": [round(r / n_chips, 1) for r in native_rates],
       "spread_pct": round(_spread_pct(native_rates), 2),
+      **qual,
+      "loadavg_start": load_start,
   }
 
   if os.environ.get("SV_BENCH_SKIP_BASELINE", "0") != "1":
-    ref_rates = _time_train("reference", batch, max(steps // 2, 5),
-                            windows=max(windows - 1, 2))
+    ref_rates, ref_qual = _time_train("reference", batch, max(steps // 2, 5),
+                                      windows=max(windows - 1, 2),
+                                      requalify=True)
     ref_mode = float(np.median(ref_rates))
     extras["ref_mode_imgs_per_sec_per_chip"] = round(ref_mode / n_chips, 2)
     extras["ref_mode_spread_pct"] = round(_spread_pct(ref_rates), 2)
+    if ref_qual["requalify_retries"]:
+      extras["ref_mode_requalify_retries"] = ref_qual["requalify_retries"]
+      extras["ref_mode_host_contended"] = ref_qual["host_contended"]
     vs_baseline = native / ref_mode
   else:
     vs_baseline = 1.0
@@ -293,6 +357,7 @@ def main():
       import traceback
       traceback.print_exc()
 
+  extras["loadavg_end"] = _loadavg()
   print(json.dumps({
       "metric": "train imgs/sec/chip (UMD-B/4@64)",
       "value": round(native / n_chips, 2),

@@ -35,6 +35,18 @@ import time
 import numpy as np
 
 
+class ServerOverloaded(Exception):
+  """Bounded request queue is full; carries a retry-after estimate (s)."""
+
+  def __init__(self, retry_after_s):
+    super().__init__(f"server overloaded, retry after ~{retry_after_s:.1f}s")
+    self.retry_after_s = retry_after_s
+
+
+class ServerClosing(Exception):
+  """Server is draining; no new requests accepted."""
+
+
 class _Request:
   __slots__ = ("n", "seed", "event", "result", "error", "t_enqueue")
 
@@ -48,21 +60,38 @@ class _Request:
 
 
 class SamplerServer:
-  """Dynamic-batching wrapper around `sample(rng) -> uint8 [B, H, W, C]`."""
+  """Dynamic-batching wrapper around `sample(rng) -> uint8 [B, H, W, C]`.
 
-  def __init__(self, sample_fn, batch_size, *, max_wait_ms=200.0):
+  Concurrency contract: `sample()` is called from N HTTP handler threads;
+  one worker thread drains the queue. `stats` is only touched under `_lock`
+  (handler threads and the worker both increment it — unlocked dict ops lost
+  counts under threading). Coalescing is strict FIFO: a request that would
+  overflow the batch is parked in `_pending` (not re-queued behind newer
+  arrivals) and leads the next batch. The queue is bounded; `sample()` on a
+  full queue raises ServerOverloaded -> HTTP 429 with a Retry-After derived
+  from the measured sampler latency.
+  """
+
+  def __init__(self, sample_fn, batch_size, *, max_wait_ms=200.0,
+               max_queue_batches=8):
     import jax
 
     self._jax = jax
     self.sample_fn = sample_fn
     self.batch_size = int(batch_size)
     self.max_wait_s = max_wait_ms / 1e3
-    self.queue = queue.Queue()
-    self.stats = {"requests": 0, "images": 0, "batches": 0,
+    # Bound in requests: worst case every request is size 1, so allowing
+    # `max_queue_batches` full batches of singles keeps the worst-case wait
+    # at ~max_queue_batches * sampler_latency.
+    self.queue = queue.Queue(maxsize=max_queue_batches * self.batch_size)
+    self._lock = threading.Lock()
+    self.stats = {"requests": 0, "images": 0, "batches": 0, "rejected": 0,
                   "batch_fill_sum": 0.0, "latency_ms_sum": 0.0,
                   "sampler_ms_last": 0.0}
+    self._pending = None  # over-size head-of-line request, leads next batch
     self._seed_ctr = 0
     self._stop = threading.Event()
+    self._closing = threading.Event()
     self._worker = threading.Thread(target=self._loop, daemon=True)
     self._worker.start()
 
@@ -70,30 +99,61 @@ class SamplerServer:
   def sample(self, n, seed=None, timeout=600.0):
     if not 0 < n <= self.batch_size:
       raise ValueError(f"n must be in [1, {self.batch_size}], got {n}")
+    if self._closing.is_set():
+      raise ServerClosing("server is draining")
     req = _Request(int(n), seed)
-    self.queue.put(req)
+    try:
+      self.queue.put_nowait(req)
+    except queue.Full:
+      with self._lock:
+        self.stats["rejected"] += 1
+        sampler_s = self.stats["sampler_ms_last"] / 1e3 or 1.0
+      raise ServerOverloaded(
+          retry_after_s=max(1.0, self.queue.qsize() / self.batch_size
+                            * sampler_s)) from None
     if not req.event.wait(timeout):
       raise TimeoutError("sampler batch did not complete in time")
     if req.error is not None:
       raise req.error
-    self.stats["requests"] += 1
-    self.stats["images"] += req.n
-    self.stats["latency_ms_sum"] += (
-        time.perf_counter() - req.t_enqueue) * 1e3
+    with self._lock:
+      self.stats["requests"] += 1
+      self.stats["images"] += req.n
+      self.stats["latency_ms_sum"] += (
+          time.perf_counter() - req.t_enqueue) * 1e3
     return req.result
 
-  def close(self):
+  def stats_snapshot(self):
+    with self._lock:
+      return dict(self.stats)
+
+  def close(self, drain=True, drain_timeout=600.0):
+    """Stops the worker. With drain=True (default), first rejects new
+    requests and waits for every queued/pending request to complete."""
+    self._closing.set()
+    if drain:
+      deadline = time.perf_counter() + drain_timeout
+      while ((not self.queue.empty() or self._pending is not None)
+             and time.perf_counter() < deadline):
+        time.sleep(0.05)
     self._stop.set()
-    self._worker.join(timeout=5)
+    self._worker.join(timeout=30)
 
   # -- batching worker -----------------------------------------------------
   def _take_batch(self):
-    """Blocks for the first request, then coalesces until full/deadline."""
-    try:
-      first = self.queue.get(timeout=0.1)
-    except queue.Empty:
-      return []
-    batch, used = [first], first.n
+    """Takes the pending head-of-line request (if any), then coalesces from
+    the queue until the batch is full or the deadline passes. Strict FIFO:
+    an arrival that would overflow is parked in `_pending` and is the FIRST
+    element of the next batch — never re-queued behind newer requests."""
+    batch, used = [], 0
+    if self._pending is not None:
+      batch, used = [self._pending], self._pending.n
+      self._pending = None
+    else:
+      try:
+        first = self.queue.get(timeout=0.1)
+      except queue.Empty:
+        return []
+      batch, used = [first], first.n
     deadline = time.perf_counter() + self.max_wait_s
     while used < self.batch_size:
       remaining = deadline - time.perf_counter()
@@ -104,9 +164,7 @@ class SamplerServer:
       except queue.Empty:
         break
       if used + nxt.n > self.batch_size:
-        # Put back for the next batch (order within the queue is preserved
-        # well enough for serving; strict FIFO would need a peek).
-        self.queue.put(nxt)
+        self._pending = nxt
         break
       batch.append(nxt)
       used += nxt.n
@@ -126,10 +184,11 @@ class SamplerServer:
         t0 = time.perf_counter()
         images = np.asarray(jax.device_get(
             self.sample_fn(jax.random.PRNGKey(int(seed)))))
-        self.stats["sampler_ms_last"] = (time.perf_counter() - t0) * 1e3
-        self.stats["batches"] += 1
-        self.stats["batch_fill_sum"] += (
-            sum(r.n for r in batch) / self.batch_size)
+        with self._lock:
+          self.stats["sampler_ms_last"] = (time.perf_counter() - t0) * 1e3
+          self.stats["batches"] += 1
+          self.stats["batch_fill_sum"] += (
+              sum(r.n for r in batch) / self.batch_size)
         off = 0
         for r in batch:
           r.result = images[off:off + r.n]
@@ -182,7 +241,7 @@ def make_http_server(server: SamplerServer, port: int):
       if self.path == "/healthz":
         self._json(200, {"ok": True, "batch_size": server.batch_size})
       elif self.path == "/stats":
-        s = dict(server.stats)
+        s = server.stats_snapshot()
         if s["requests"]:
           s["latency_ms_mean"] = s.pop("latency_ms_sum") / s["requests"]
         if s["batches"]:
@@ -206,6 +265,18 @@ def make_http_server(server: SamplerServer, port: int):
         self.send_header("Content-Length", str(len(blob)))
         self.end_headers()
         self.wfile.write(blob)
+      except ServerOverloaded as e:
+        # Backpressure: bounded queue is full; tell the client when to retry.
+        blob = json.dumps({"error": str(e),
+                           "retry_after_s": e.retry_after_s}).encode()
+        self.send_response(429)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Retry-After", str(int(e.retry_after_s + 0.5)))
+        self.send_header("Content-Length", str(len(blob)))
+        self.end_headers()
+        self.wfile.write(blob)
+      except ServerClosing as e:
+        self._json(503, {"error": str(e)})
       except Exception as e:  # noqa: BLE001 — surface to the client.
         self._json(500, {"error": str(e)})
 

@@ -121,3 +121,23 @@ def test_distributed_checkpoint_roundtrip(worker_results):
   for r in worker_results:
     assert r["restore_step"] == 3
     assert r["restore_max_diff"] == 0.0
+
+
+def test_ppermute_crosses_process_boundary(worker_results):
+  """Raw lax.ppermute over a pipe axis whose every pair spans both
+  processes: global [[0,1],[2,3],[4,5],[6,7]] ring-shifted along pipe
+  becomes [[1,0],[3,2],[5,4],[7,6]] (VERDICT r3 weak #6)."""
+  for r in worker_results:
+    assert r["ppermute_cross_process"] == [1., 0., 3., 2., 5., 4., 7., 6.]
+
+
+def test_pipelined_train_step_across_processes(worker_results):
+  """FULL pipelined train step on the ('data','pipe') mesh with the pipe
+  axis spanning the 2 jax.distributed processes (the DCN analogue): loss is
+  finite, identical on both processes, and matches the sequential
+  (non-pipelined) arm with identical params/batch/rng to float tolerance."""
+  a, b = worker_results
+  assert np.isfinite(a["pipe_loss"])
+  assert a["pipe_loss"] == b["pipe_loss"]
+  assert a["seq_loss"] == b["seq_loss"]
+  assert a["pipe_loss"] == pytest.approx(a["seq_loss"], rel=1e-4)
