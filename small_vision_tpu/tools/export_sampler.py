@@ -109,7 +109,8 @@ def build_sample_callable(config, params, *, fn="uncond_eps",
 def export_sampler(config, params, out_path, *, fn="uncond_eps",
                    batch_size=None, platforms=None,
                    allow_custom_calls=("tpu_custom_call",),
-                   weights_mode="baked", weights_out=None):
+                   weights_mode="baked", weights_out=None,
+                   weights_dtype=None):
   """Serializes the sampler with jax.export; returns the Exported.
 
   `weights_mode`:
@@ -123,6 +124,14 @@ def export_sampler(config, params, out_path, *, fn="uncond_eps",
       utils/checkpoint.py save_params_npz). The serving site device_puts
       weights ONCE and reuses them across calls — the production-right
       split (weights rotate independently of the program artifact).
+
+  `weights_dtype` (arg mode only): storage dtype for floating weight leaves
+  (e.g. "bfloat16" — halves the sidecar .npz and the serving site's
+  host->device weight transfer). The exported program takes weights in this
+  dtype and casts each leaf back to its training dtype as its FIRST op, so
+  the compute graph is identical to the full-precision artifact; the only
+  numerics delta is the one-time storage rounding (parity asserted in
+  tests/test_serving.py::test_arg_mode_bf16_sidecar_parity).
 
   `allow_custom_calls`: custom-call targets to exempt from jax.export's
   forward-compatibility check. The Pallas attention kernels lower to
@@ -143,13 +152,29 @@ def export_sampler(config, params, out_path, *, fn="uncond_eps",
                          disabled_checks=disabled)(rng_spec)
   elif weights_mode == "arg":
     sample_p = build_sample_callable_p(config, fn=fn, batch_size=batch_size)
+    if weights_dtype:
+      store = jnp.dtype(weights_dtype)
+      orig_dtypes = jax.tree.map(lambda l: l.dtype, params)
+      inner = sample_p
+
+      def sample_p(p, rng):  # noqa: F811 — storage->training dtype restore.
+        restored = jax.tree.map(lambda x, d: x.astype(d), p, orig_dtypes)
+        return inner(restored, rng)
+
+      def storage_dtype(l):
+        return store if jnp.issubdtype(l.dtype, jnp.floating) else l.dtype
+    else:
+      def storage_dtype(l):
+        return l.dtype
     param_specs = jax.tree.map(
-        lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype), params)
+        lambda l: jax.ShapeDtypeStruct(l.shape, storage_dtype(l)), params)
     exp = jexport.export(jax.jit(sample_p), platforms=platforms,
                          disabled_checks=disabled)(param_specs, rng_spec)
     if weights_out:
       from small_vision_tpu.utils import checkpoint as ckpt_lib
-      ckpt_lib.save_params_npz(weights_out, params)
+      ckpt_lib.save_params_npz(
+          weights_out, params,
+          cast_floating=jnp.dtype(weights_dtype) if weights_dtype else None)
   else:
     raise ValueError(f"weights_mode must be 'baked' or 'arg', "
                      f"got {weights_mode!r}")
@@ -213,6 +238,9 @@ def main(argv=None):
                       choices=("baked", "arg"))
   parser.add_argument("--weights_out", default="",
                       help="arg mode: also write weights as flat .npz here")
+  parser.add_argument("--weights_dtype", default="",
+                      help="arg mode: storage dtype for floating weights "
+                           "(e.g. bfloat16 — halves the sidecar)")
   args = parser.parse_args(argv)
 
   from small_vision_tpu.cli import parse_config
@@ -223,7 +251,8 @@ def main(argv=None):
   export_sampler(config, params, args.out, fn=args.fn,
                  batch_size=args.batch_size, platforms=platforms,
                  weights_mode=args.weights_mode,
-                 weights_out=args.weights_out or None)
+                 weights_out=args.weights_out or None,
+                 weights_dtype=args.weights_dtype or None)
   size = os.path.getsize(args.out)
   print(f"exported {args.fn} (weights: {key} @ step {step}, "
         f"{args.weights_mode}) bs={args.batch_size} -> {args.out} "

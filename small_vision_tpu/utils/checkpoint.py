@@ -95,15 +95,38 @@ def wait_until_finished(mngr: ocp.CheckpointManager):
   mngr.wait_until_finished()
 
 
-def save_params_npz(path: str, params: Any):
-  """Legacy flat-npz export (reference utils.py:200-287 zoo format)."""
+def save_params_npz(path: str, params: Any, cast_floating=None):
+  """Legacy flat-npz export (reference utils.py:200-287 zoo format).
+
+  `cast_floating`: optional dtype (e.g. jnp.bfloat16) applied to floating
+  leaves before writing — halves the weights sidecar for serving. numpy's
+  npz cannot represent bfloat16 (it degrades to a void dtype on load), so
+  bf16 leaves are stored as uint16 bit-views under `{key}::bf16`;
+  `load_params_npz` reverses this.
+  """
+  import ml_dtypes
   from small_vision_tpu.utils.trees import tree_flatten_with_names
   pairs, _ = tree_flatten_with_names(params)
-  np.savez(path, **{k: np.asarray(jax.device_get(v)) for k, v in pairs})
+  out = {}
+  for k, v in pairs:
+    a = np.asarray(jax.device_get(v))
+    if cast_floating is not None and np.issubdtype(a.dtype, np.floating):
+      a = a.astype(cast_floating)
+    if a.dtype == ml_dtypes.bfloat16:
+      out[k + "::bf16"] = a.view(np.uint16)
+    else:
+      out[k] = a
+  np.savez(path, **out)
 
 
 def load_params_npz(path: str):
+  import ml_dtypes
   from small_vision_tpu.utils.trees import recover_tree
+  keys, values = [], []
   with np.load(path) as data:
-    keys, values = zip(*data.items())
+    for k, v in data.items():
+      if k.endswith("::bf16"):
+        k, v = k[:-len("::bf16")], v.view(ml_dtypes.bfloat16)
+      keys.append(k)
+      values.append(v)
   return recover_tree(keys, values)
