@@ -33,7 +33,15 @@ def get_config(arg=None):
       data="imagenet2012", attn_impl="pallas", runlocal=False, heads=0,
       ckpt_steps=0, log_steps=0,  # 0 = keep the defaults (5000 / 100)
       eval_steps=0,  # 0 = per-evaluator defaults (25k loss / 10k fewshot)
-      quant="")  # "int8_mlp": dynamic int8 MLP matmuls (ops/quant.py)
+      quant="",  # "int8_mlp": dynamic int8 MLP matmuls (ops/quant.py)
+      # FID scoring inputs for the sampling evaluators (ImageNet-day
+      # runbook): reference mu/sigma .npz (evaluators/fid.py
+      # compute_reference_stats) and converted InceptionV3 weights .npz
+      # (scripts/convert_inception.py). Empty = samples saved, not scored.
+      fid_stats="", inception_weights="",
+      # 0 = protocol defaults (10k samples, 1024/call, fid batch 1024);
+      # the runbook's dry-run mode shrinks these for CPU smoke runs.
+      total_samples=0, samples_per_call=0, fid_batch=0)
 
   config = mlc.ConfigDict()
   config.finetune = arg.finetune
@@ -66,7 +74,8 @@ def get_config(arg=None):
       clip_denoised=not arg.latent_diffusion,
       timesteps=1000,
       sampling_timesteps=125)
-  config.num_samples_per_call = 1024
+  config.num_samples_per_call = arg.samples_per_call or 1024
+  config.fid_batch_size = arg.fid_batch or 1024
   config.patch_size = int(arg.variant.split("/")[1])
 
   config.input = dict()
@@ -141,7 +150,7 @@ def get_config(arg=None):
 
   def get_sample_eval(pred="cond_eps"):
     return dict(type="diffusion_sampling", pred=pred,
-                total_samples=10_000, log_steps=25_000)
+                total_samples=arg.total_samples or 10_000, log_steps=25_000)
 
   config.evals = {}
   if config.no_noise_prob < 1.0:
@@ -167,9 +176,12 @@ def get_config(arg=None):
     config.evals["sample_cond"] = get_sample_eval("cond_eps")
     config.evals["sample_cfg_1_5"] = get_sample_eval("cfg_eps_2.0")
     config.evals["sample_cfg_4"] = get_sample_eval("cfg_eps_4.0")
-    config.inception_reference_path = ""  # Set to local fid stats .npz.
+    config.inception_reference_path = arg.fid_stats
+    config.inception_weights = arg.inception_weights
 
-  if arg.eval_steps:  # One knob over every evaluator's cadence (short runs).
+  if arg.eval_steps < 0:  # -1 = no evaluators (pure-throughput drills).
+    config.evals = {}
+  elif arg.eval_steps:  # One knob over every evaluator's cadence.
     for ev in config.evals.values():
       ev["log_steps"] = arg.eval_steps
 

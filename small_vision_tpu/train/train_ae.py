@@ -334,8 +334,10 @@ def make_eval_fns(model, config, vae_encode=None, vae_decode=None):
       num_samples = int(config.get("num_samples_per_call", 1024))
       rng, key = jax.random.split(rng)
       if num_classes_arg is not None and manual_ys is None:
-        assert num_samples >= num_classes_arg
-        ys = jnp.arange(num_classes_arg)
+        # Class-balanced labels (reference train_ae.py:491-495: arange over
+        # all classes, random fill to the call size). Calls smaller than the
+        # class count (CPU smoke runs) cover the first num_samples classes.
+        ys = jnp.arange(min(num_classes_arg, num_samples))
         if num_samples > num_classes_arg:
           ys = jnp.concatenate([ys, jax.random.randint(
               key, (num_samples - num_classes_arg,), 0, num_classes_arg)])
@@ -571,7 +573,8 @@ def train_and_evaluate(config, workdir: Optional[str] = None, mesh=None):
           if ref_stats:
             from small_vision_tpu.evaluators.fid import create_fid_score_fn
             fid_fn = create_fid_score_fn(
-                1024, ref_stats, config.get("inception_weights"))
+                config.get("fid_batch_size", 1024), ref_stats,
+                config.get("inception_weights"))
             fid_score, is_score = fid_fn(samples)
             mw.measure(f"{prefix}{key}_fid_score", fid_score)
             mw.measure(f"{prefix}{key}_inception_score", is_score)
