@@ -39,25 +39,44 @@ def main():
   ap.add_argument("--workdir", default="/tmp/latent_l2_drill")
   ap.add_argument("--batch_size", type=int, default=64)
   ap.add_argument("--epochs", type=int, default=1)  # 50k synthetic / bs
+  ap.add_argument("--parse_only", action="store_true",
+                  help="skip training; (re)build the JSON from the workdir")
   ap.add_argument("--out", default=os.path.join(REPO, "perf",
                                                 "latent_l2_drill.json"))
   args = ap.parse_args()
 
+  # eval_steps=-1: no evaluators — this drill measures the TRAIN path
+  # (VAE encode + L/2 update); the default fewshot/val evals at L/2-256
+  # scale add ~30+ min of eval-only wall-clock that asserts nothing here.
   config = (f"ae_i1k.py:variant=L/2,size=256,latent_diffusion=True,"
             f"data=synthetic,batch_size={args.batch_size},"
-            f"epochs={args.epochs},save_ckpt=False,log_steps=20")
-  rc = subprocess.call(
-      [sys.executable, "-m", "small_vision_tpu.cli",
-       "--config", config, "--workdir", args.workdir],
-      cwd=REPO)
-  assert rc == 0, f"trainer failed rc={rc}"
+            f"epochs={args.epochs},save_ckpt=False,log_steps=20,"
+            f"eval_steps=-1")
+  metrics_path = os.path.join(args.workdir, "sv_tpu_metrics.txt")
+  if not args.parse_only:
+    # The metric writer APPENDS; a stale file from an earlier run would mix
+    # two runs' rows into the summary.
+    if os.path.exists(metrics_path):
+      os.remove(metrics_path)
+    rc = subprocess.call(
+        [sys.executable, "-m", "small_vision_tpu.cli",
+         "--config", config, "--workdir", args.workdir],
+        cwd=REPO)
+    assert rc == 0, f"trainer failed rc={rc}"
 
   rows = []
-  with open(os.path.join(args.workdir, "sv_tpu_metrics.txt")) as f:
+  with open(metrics_path) as f:
     for line in f:
       if line.strip():
         rows.append(json.loads(line))
   rows = [r for r in rows if "training_loss" in r]
+  # Defense in depth: keep only the LAST monotonic-step segment (a step
+  # reset marks an earlier appended run).
+  last_start = 0
+  for i in range(1, len(rows)):
+    if rows[i]["step"] <= rows[i - 1]["step"]:
+      last_start = i
+  rows = rows[last_start:]
   losses = [r["training_loss"] for r in rows]
   # Skip the first two log windows (compile + warmup) for throughput.
   imgs = [r["z/img_per_sec_per_core"] for r in rows[2:]]
