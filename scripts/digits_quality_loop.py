@@ -60,6 +60,9 @@ def main():
   ap.add_argument("--batch_size", type=int, default=256)
   ap.add_argument("--epochs", type=int, default=600)  # 1500 ex -> ~3.5k steps
   ap.add_argument("--min_acc", type=float, default=0.5)
+  ap.add_argument("--variant", default="S/4",
+                  help="B/4 = the flagship shape every BASELINE row uses "
+                       "(VERDICT r3 weak-5: real-data LP at B/4)")
   ap.add_argument("--config_extra", default="",
                   help="extra config args appended to the arg string, e.g. "
                        "'quant=int8_all' for a quantized-numerics arm")
@@ -69,7 +72,7 @@ def main():
   # Default UMD recipe at digits scale: B/4 is overkill for 1.5k examples,
   # so use a small variant; evals (val + mae_val + fewshot LP) stay on their
   # default wiring, with log_steps pulled in so they run inside this drill.
-  config = (f"ae_i1k.py:data=arrays:{args.data_root},variant=S/4,"
+  config = (f"ae_i1k.py:data=arrays:{args.data_root},variant={args.variant},"
             f"size={args.size},batch_size={args.batch_size},"
             f"epochs={args.epochs},save_ckpt=False,"
             "log_steps=50,eval_steps=1500")
@@ -96,7 +99,7 @@ def main():
        if "imagenet_100shot" in k] or [accs[-1][1]]))
   summary = {
       "n_train": 1500, "n_val": 297, "chance_acc": 0.1,
-      "config_extra": args.config_extra,
+      "variant": args.variant, "config_extra": args.config_extra,
       "first_lp_acc": accs[0][1], "final_lp_acc": final_acc,
       "lp_trajectory": accs, "first_loss": losses[0][1],
       "final_loss": losses[-1][1], "ok": final_acc >= args.min_acc,

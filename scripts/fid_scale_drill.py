@@ -1,0 +1,186 @@
+"""FID-at-scale on-chip drill (VERDICT r3 task 3): the PRODUCTION-shape
+sampling -> streaming-FID loop, timed end to end.
+
+Every piece is unit/integration tested small; this runs the real shape the
+eval config uses on ImageNet day (reference evaluators/fid.py:26-100,
+configs/eval_ae_i1k.py:94-100): a 125-step DDIM sampler at
+`--samples_per_call` per jitted call until `--total_samples`, each batch fed
+straight (still on device) into the InceptionV3 streaming-moments program
+(resize 299 -> pool3 -> Sx / Sxx^T on-chip; only 2048-d moments and the
+1000-d probs come to host), then host scipy sqrtm for the Frechet distance.
+
+Model params and Inception weights are random-init: this drill proves
+WALL-CLOCK and PLUMBING at scale (quality needs real weights + data, which
+this box cannot get — see scripts/imagenet_parity_runbook.py for the
+ImageNet-day path). The reference stats arm doubles as the measured cost of
+`compute_reference_stats` over the same number of images.
+
+Usage (real chip, ~15-30 min at defaults):
+  python scripts/fid_scale_drill.py
+  python scripts/fid_scale_drill.py --quant int8_all   # quantized sampler arm
+CPU smoke (shrunk shapes, seconds):
+  JAX_PLATFORMS=cpu python scripts/fid_scale_drill.py \
+      --total_samples 64 --samples_per_call 32 --sampling_steps 4 \
+      --fid_batch 32 --out /tmp/fid_drill.json
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+  ap = argparse.ArgumentParser()
+  ap.add_argument("--total_samples", type=int, default=10_000)
+  ap.add_argument("--samples_per_call", type=int, default=1024)
+  ap.add_argument("--sampling_steps", type=int, default=125)
+  ap.add_argument("--fid_batch", type=int, default=1024)
+  ap.add_argument("--variant", default="B/4")
+  ap.add_argument("--size", type=int, default=64)
+  ap.add_argument("--quant", default="", help="e.g. int8_all")
+  ap.add_argument("--attn", default="pallas")
+  ap.add_argument("--out", default=os.path.join(REPO, "perf",
+                                                "fid_scale_drill.json"))
+  args = ap.parse_args()
+
+  import jax
+  import jax.numpy as jnp
+
+  from small_vision_tpu.cli import parse_config
+  from small_vision_tpu.evaluators import fid as fid_lib
+  from small_vision_tpu.evaluators import inception
+  from small_vision_tpu.tools import export_sampler
+  from small_vision_tpu.train import train_ae
+
+  cfg_str = (f"ae_i1k.py:variant={args.variant},size={args.size},"
+             f"use_labels=True,attn_impl={args.attn}")
+  if args.quant:
+    cfg_str += f",quant={args.quant}"
+  config = parse_config(cfg_str)
+  config.num_samples_per_call = args.samples_per_call
+  config.diff_schedule.sampling_timesteps = args.sampling_steps
+
+  # Random-init params in the exact flagship shapes (EMA stand-in).
+  params = export_sampler.abstract_params(
+      train_ae.build_model(config), config)
+  rng = np.random.default_rng(0)
+  params = jax.tree.map(
+      lambda l: jnp.asarray(rng.normal(0, 0.02, l.shape).astype(l.dtype)),
+      params)
+
+  from small_vision_tpu.ops import diffusion as gd_lib
+  model = train_ae.build_model(config)
+  eval_fns = train_ae.make_eval_fns(model, config)
+  gd = gd_lib.GaussianDiffusion.create(
+      config.diff_schedule.beta_schedule, config.diff_schedule.timesteps)
+  sample_fn = jax.jit(lambda key: eval_fns["cond_eps"](
+      {"params": params, "gd": gd, "rng": key}, key)["fid_samples"])
+
+  imodel, ivars = inception.init_params(rng=jax.random.PRNGKey(1))
+  act_fn = fid_lib.make_activation_fn(imodel, ivars)
+
+  # --- arm 1: reference stats over the same image count (ImageNet-day cost
+  # of compute_reference_stats; random uint8 stands in for validation).
+  t0 = time.perf_counter()
+  noise = rng.integers(
+      0, 256, (args.fid_batch, args.size, args.size, 3), np.uint8)
+  ref_moments = fid_lib.StreamingMoments()
+  seen = 0
+  while seen < args.total_samples:
+    n = min(args.fid_batch, args.total_samples - seen)
+    mask = np.zeros((args.fid_batch,), np.float32)
+    mask[:n] = 1.0
+    _, s, outer = act_fn(jnp.asarray(noise), jnp.asarray(mask))
+    ref_moments.update(n, jax.device_get(s), jax.device_get(outer))
+    seen += n
+  ref_mu, ref_sigma = ref_moments.finalize()
+  t_ref = time.perf_counter() - t0
+
+  # --- arm 2: the scored loop — sample, stream moments, never dump pixels.
+  moments = fid_lib.StreamingMoments()
+  all_probs = []
+  sample_s, fid_s = [], []
+  n_calls = -(-args.total_samples // args.samples_per_call)
+  t_loop0 = time.perf_counter()
+  key = jax.random.PRNGKey(0)
+  for call in range(n_calls):
+    key, sub = jax.random.split(key)
+    t0 = time.perf_counter()
+    samples = sample_fn(sub)
+    samples.block_until_ready() if hasattr(samples, "block_until_ready") \
+        else None
+    # Close the timing chain with a tiny device_get (tunneled-backend rule).
+    _ = jax.device_get(samples[0, 0, 0, 0])
+    sample_s.append(time.perf_counter() - t0)
+
+    want = min(args.samples_per_call,
+               args.total_samples - call * args.samples_per_call)
+    t0 = time.perf_counter()
+    for i in range(0, samples.shape[0], args.fid_batch):
+      chunk = samples[i:i + args.fid_batch]
+      real = min(max(want - i, 0), chunk.shape[0])
+      if real == 0:
+        break
+      mask = np.zeros((args.fid_batch,), np.float32)
+      mask[:real] = 1.0
+      if chunk.shape[0] < args.fid_batch:
+        chunk = jnp.pad(chunk, ((0, args.fid_batch - chunk.shape[0]),
+                                (0, 0), (0, 0), (0, 0)))
+      probs, s, outer = act_fn(chunk, jnp.asarray(mask))
+      moments.update(real, jax.device_get(s), jax.device_get(outer))
+      all_probs.append(np.asarray(jax.device_get(probs))[:real])
+    fid_s.append(time.perf_counter() - t0)
+    done = min((call + 1) * args.samples_per_call, args.total_samples)
+    print(f"[fid_drill] call {call + 1}/{n_calls}: sampler {sample_s[-1]:.1f}s"
+          f" + fid {fid_s[-1]:.1f}s ({done}/{args.total_samples})",
+          flush=True)
+  t_loop = time.perf_counter() - t_loop0
+
+  mu, sigma = moments.finalize()
+  t0 = time.perf_counter()
+  fid = fid_lib.compute_frechet_distance(mu, sigma, ref_mu, ref_sigma)
+  is_score = fid_lib.compute_inception_score(np.concatenate(all_probs))
+  t_frechet = time.perf_counter() - t0
+
+  steady_sample = sample_s[1:] or sample_s   # call 0 carries the compile
+  steady_fid = fid_s[1:] or fid_s
+  res = {
+      "total_samples": args.total_samples,
+      "samples_per_call": args.samples_per_call,
+      "sampling_steps": args.sampling_steps,
+      "fid_batch": args.fid_batch,
+      "variant": args.variant, "size": args.size,
+      "quant": args.quant or "bf16", "attn": args.attn,
+      "device": str(jax.devices()[0].device_kind),
+      "total_minutes": round(t_loop / 60, 2),
+      "sampler_imgs_per_sec_steady": round(
+          args.samples_per_call / float(np.median(steady_sample)), 2),
+      "sampler_s_first_call": round(sample_s[0], 1),
+      "fid_moments_s_per_call_steady": round(
+          float(np.median(steady_fid)), 2),
+      "fid_overhead_pct_of_loop": round(100 * sum(fid_s) / t_loop, 1),
+      "ref_stats_minutes": round(t_ref / 60, 2),
+      "frechet_sqrtm_s": round(t_frechet, 2),
+      "fid_value_random_weights": round(float(fid), 3),
+      "inception_score_random_weights": round(float(is_score), 3),
+      "projected_50k_minutes": round(
+          (t_loop - sample_s[0] - fid_s[0]
+           + float(np.median(steady_sample)) + float(np.median(steady_fid)))
+          / args.total_samples * 50_000 / 60, 1),
+  }
+  assert np.isfinite(fid) and np.isfinite(is_score)
+  os.makedirs(os.path.dirname(args.out), exist_ok=True)
+  with open(args.out, "w") as f:
+    json.dump(res, f, indent=1)
+  print(json.dumps(res, indent=1))
+
+
+if __name__ == "__main__":
+  main()

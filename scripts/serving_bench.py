@@ -64,7 +64,7 @@ def main():
   t0 = time.perf_counter()
   export_sampler.export_sampler(config, params, path, fn="uncond_eps",
                                 batch_size=bs, weights_mode="arg",
-                                weights_out=wts)
+                                weights_out=wts, weights_dtype="bfloat16")
   export_s = time.perf_counter() - t0
   size_mb = os.path.getsize(path) / 1e6
   weights_mb = os.path.getsize(wts) / 1e6
@@ -104,6 +104,39 @@ def main():
   wall = time.perf_counter() - t0
   srv.close()
 
+  # 4. saturated service: K clients keep mixed-size work outstanding until
+  # an image budget drains — the batcher should coalesce near-full batches
+  # (closes the fill gap the staggered arm leaves: fill 0.71 -> >=0.95).
+  srv2 = serve.SamplerServer(keyed, bs, max_wait_ms=100.0)
+  srv2.sample(1, seed=0)  # warm
+  sat_lat = []
+  budget = {"left": 1024, "i": 0}
+  sat_sizes = [16, 32, 8, 64, 24, 40, 48, 56]
+
+  def sat_client():
+    while True:
+      with lock:
+        if budget["left"] <= 0:
+          return
+        n = min(sat_sizes[budget["i"] % len(sat_sizes)], budget["left"])
+        budget["i"] += 1
+        budget["left"] -= n
+      t0 = time.perf_counter()
+      out = srv2.sample(n, timeout=600)
+      assert out.shape[0] == n
+      with lock:
+        sat_lat.append((time.perf_counter() - t0) * 1e3)
+
+  sat_total = budget["left"]
+  t0 = time.perf_counter()
+  sat_threads = [threading.Thread(target=sat_client) for _ in range(6)]
+  for t in sat_threads:
+    t.start()
+  for t in sat_threads:
+    t.join(900)
+  sat_wall = time.perf_counter() - t0
+  srv2.close()
+
   total_imgs = sum(sizes)
   result = {
       "metric": "serving (125-step DDIM, UMD-B/4@64, bs%d, %s)" % (
@@ -121,6 +154,12 @@ def main():
       "service_batch_fill_mean": round(
           srv.stats["batch_fill_sum"] / max(srv.stats["batches"], 1), 3),
       "n_requests": len(sizes), "total_imgs": total_imgs,
+      "saturated_imgs_per_sec": round(sat_total / sat_wall, 2),
+      "saturated_total_imgs": sat_total,
+      "saturated_batch_fill_mean": round(
+          srv2.stats["batch_fill_sum"] / max(srv2.stats["batches"], 1), 3),
+      "saturated_latency_ms_p95": round(
+          float(np.percentile(sat_lat, 95)), 1) if sat_lat else None,
   }
   out = os.path.join(REPO, "perf", "serving_bench.json")
   with open(out, "w") as f:
