@@ -80,8 +80,13 @@ def main():
   eval_fns = train_ae.make_eval_fns(model, config)
   gd = gd_lib.GaussianDiffusion.create(
       config.diff_schedule.beta_schedule, config.diff_schedule.timesteps)
-  sample_fn = jax.jit(lambda key: eval_fns["cond_eps"](
-      {"params": params, "gd": gd, "rng": key}, key)["fid_samples"])
+  # params as a jit ARG (not a closure): closed-over trees get embedded in
+  # the HLO as constants, which blows past the tunneled remote-compile body
+  # limit at B-scale (HTTP 413).
+  _sample_jit = jax.jit(lambda p, key: eval_fns["cond_eps"](
+      {"params": p, "gd": gd, "rng": key}, key)["fid_samples"])
+  dparams = jax.device_put(params)
+  sample_fn = lambda key: _sample_jit(dparams, key)
 
   imodel, ivars = inception.init_params(rng=jax.random.PRNGKey(1))
   act_fn = fid_lib.make_activation_fn(imodel, ivars)

@@ -89,13 +89,17 @@ def main():
 
   def sample_set(quant):
     _, _, fn, gd = build_sampler(quant)
-    jfn = jax.jit(lambda key: fn(
-        {"params": params, "gd": gd, "rng": key}, key)["fid_samples"])
+    # params as a jit ARG (not a closure): closed-over trees get embedded in
+    # the HLO as constants, which blows past the tunneled remote-compile
+    # body limit at B-scale (HTTP 413).
+    jfn = jax.jit(lambda p, key: fn(
+        {"params": p, "gd": gd, "rng": key}, key)["fid_samples"])
+    dparams = jax.device_put(params)
     out, key = [], jax.random.PRNGKey(7)
     t0 = time.perf_counter()
     for _ in range(args.total // args.per_call):
       key, sub = jax.random.split(key)  # identical key sequence both arms
-      out.append(np.asarray(jax.device_get(jfn(sub))))
+      out.append(np.asarray(jax.device_get(jfn(dparams, sub))))
     dt = time.perf_counter() - t0
     return np.concatenate(out), dt
 
@@ -137,10 +141,14 @@ def main():
       "total": args.total, "sampling_steps": args.steps,
       "device": str(jax.devices()[0].device_kind),
       "pixel_mse": round(mse, 4), "pixel_psnr_db": round(psnr, 2),
-      "frechet_bf16_vs_int8": round(frechet_cross, 4),
-      "frechet_splithalf_floor": round(frechet_floor, 4),
+      "frechet_bf16_vs_int8": float(f"{frechet_cross:.3e}"),
+      "frechet_splithalf_floor": float(f"{frechet_floor:.3e}"),
       "floor_mult": args.floor_mult,
-      "pass": bool(frechet_cross <= args.floor_mult * frechet_floor),
+      # max(floor, 1e-6) keeps the gate meaningful when both distances sit
+      # below the protocol's numerical resolution (sqrtm rounding can give
+      # exact/-0.0 values for statistically identical sets).
+      "pass": bool(frechet_cross <= args.floor_mult
+                   * max(frechet_floor, 1e-6)),
       "bf16_imgs_per_sec": round(args.total / t_bf16, 2),
       "quant_imgs_per_sec": round(args.total / t_q, 2),
   }
