@@ -53,6 +53,10 @@ def main():
   import jax
   import jax.numpy as jnp
 
+  os.makedirs(os.path.join(REPO, ".jax_cache"), exist_ok=True)
+  jax.config.update("jax_compilation_cache_dir",
+                    os.path.join(REPO, ".jax_cache"))
+
   from small_vision_tpu.cli import parse_config
   from small_vision_tpu.evaluators import fid as fid_lib
   from small_vision_tpu.evaluators import inception
@@ -105,6 +109,8 @@ def main():
     _, s, outer = act_fn(jnp.asarray(noise), jnp.asarray(mask))
     ref_moments.update(n, jax.device_get(s), jax.device_get(outer))
     seen += n
+    print(f"[fid_drill] ref stats {seen}/{args.total_samples}"
+          f" ({time.perf_counter() - t0:.1f}s)", flush=True)
   ref_mu, ref_sigma = ref_moments.finalize()
   t_ref = time.perf_counter() - t0
 
