@@ -178,47 +178,14 @@ def _time_train(mode, batch_size, steps, attn_impl="xla", windows=3,
   return run_windows(windows)
 
 
-def _spread_pct(rates):
-  med = float(np.median(rates))
-  return 100.0 * (max(rates) - min(rates)) / med if med else 0.0
-
-
 # Requalification: the r2/r3 driver-scored numbers were each ambiguous
 # because a single contended window skewed the median (r3: spread 6.09% vs
-# the clean-host 1.58%). The bench now defends its own median: if the window
-# spread exceeds SPREAD_THRESHOLD_PCT, re-measure the whole window set
-# (bounded retries) and keep the tightest set; if no set qualifies, flag
-# `host_contended` in the JSON instead of silently shipping a skewed median.
-SPREAD_THRESHOLD_PCT = 2.0
-MAX_REQUALIFY_RETRIES = 3
-
-
-def _requalify(run_windows, windows, threshold=SPREAD_THRESHOLD_PCT,
-               max_retries=MAX_REQUALIFY_RETRIES):
-  """Measures window sets via `run_windows(n)` until one has spread below
-  `threshold` (or retries are exhausted, keeping the tightest set seen).
-
-  Returns (rates, info) where info = {"requalify_retries": int,
-  "host_contended": bool, "discarded_window_sets": [spreads...]}.
-  Unit-tested with a fake run_windows in tests/test_bench_requalify.py.
-  """
-  best = run_windows(windows)
-  discarded = []
-  retries = 0
-  while _spread_pct(best) > threshold and retries < max_retries:
-    retries += 1
-    candidate = run_windows(windows)
-    if _spread_pct(candidate) < _spread_pct(best):
-      discarded.append(round(_spread_pct(best), 2))
-      best = candidate
-    else:
-      discarded.append(round(_spread_pct(candidate), 2))
-  info = {
-      "requalify_retries": retries,
-      "host_contended": _spread_pct(best) > threshold,
-      "discarded_window_sets": discarded,
-  }
-  return best, info
+# the clean-host 1.58%). The bench defends its own median via the shared
+# helper in utils/windows.py (round 5: factored out so the perf drills
+# defend theirs the same way). Unit tests: tests/test_bench_requalify.py.
+from small_vision_tpu.utils.windows import (  # noqa: E402
+    MAX_REQUALIFY_RETRIES, SPREAD_THRESHOLD_PCT,
+    requalify as _requalify, spread_pct as _spread_pct)
 
 
 def _loadavg():

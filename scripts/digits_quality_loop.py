@@ -107,6 +107,7 @@ def main():
   out = os.path.join(args.workdir, "quality_loop_summary.json")
   with open(out, "w") as f:
     json.dump(summary, f, indent=1)
+    f.write("\n")
   print("[quality-loop]", json.dumps(summary), flush=True)
   assert final_acc >= args.min_acc, (
       f"100-shot LP accuracy {final_acc:.3f} below {args.min_acc} — "

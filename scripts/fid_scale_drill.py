@@ -48,14 +48,29 @@ def main():
   ap.add_argument("--attn", default="pallas")
   ap.add_argument("--out", default=os.path.join(REPO, "perf",
                                                 "fid_scale_drill.json"))
+  ap.add_argument("--jax_cache", type=int, default=1,
+                  help="1: use the repo persistent compile cache (timings "
+                       "then measure cache-load on warm reruns — the JSON "
+                       "records cold/warm); 0: always compile cold.")
   args = ap.parse_args()
 
   import jax
+
+  from small_vision_tpu.utils.misc import honor_env_platform
+  honor_env_platform()
   import jax.numpy as jnp
 
-  os.makedirs(os.path.join(REPO, ".jax_cache"), exist_ok=True)
-  jax.config.update("jax_compilation_cache_dir",
-                    os.path.join(REPO, ".jax_cache"))
+  # ADVICE r4: the persistent cache makes compile-cost fields
+  # (sampler_s_first_call, ref_stats_minutes) non-reproducible across warm
+  # reruns — so the cache is flag-gated AND the JSON records whether this
+  # run's compiles were cold or (potentially) cached.
+  cache_dir = os.path.join(REPO, ".jax_cache")
+  if args.jax_cache:
+    os.makedirs(cache_dir, exist_ok=True)
+    compile_cache = "warm" if os.listdir(cache_dir) else "cold"
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+  else:
+    compile_cache = "disabled"
 
   from small_vision_tpu.cli import parse_config
   from small_vision_tpu.evaluators import fid as fid_lib
@@ -169,6 +184,7 @@ def main():
       "fid_batch": args.fid_batch,
       "variant": args.variant, "size": args.size,
       "quant": args.quant or "bf16", "attn": args.attn,
+      "compile_cache": compile_cache,
       "device": str(jax.devices()[0].device_kind),
       "total_minutes": round(t_loop / 60, 2),
       "sampler_imgs_per_sec_steady": round(
@@ -190,6 +206,7 @@ def main():
   os.makedirs(os.path.dirname(args.out), exist_ok=True)
   with open(args.out, "w") as f:
     json.dump(res, f, indent=1)
+    f.write("\n")
   print(json.dumps(res, indent=1))
 
 

@@ -244,6 +244,7 @@ def phase_verify(args, workdir):
   out = os.path.join(args.root, "parity_report.json")
   with open(out, "w") as f:
     json.dump(report, f, indent=1)
+    f.write("\n")
   log("verify: " + json.dumps(report))
   assert report["go"], (
       f"PARITY GATE FAILED: LP {lp} vs >= {BASELINE_LP_B4 - args.lp_tol}, "

@@ -97,6 +97,7 @@ def ingest_paths(paths, labels, out, size, mode="center", workers=16,
   with open(os.path.join(out, "meta.json"), "w") as f:
     json.dump({"n": n, "size": size, "mode": mode,
                "class_names": class_names}, f)
+    f.write("\n")
   print(f"wrote {out}: {n} images @ {size}x{size}"
         f"{' + labels' if labels is not None else ''}")
 
@@ -135,6 +136,7 @@ def ingest_tfds(name, split, out, size, mode, workers):
   with open(os.path.join(out, "meta.json"), "w") as f:
     json.dump({"n": n, "size": size, "mode": mode, "tfds": name,
                "split": split}, f)
+    f.write("\n")
   print(f"wrote {out}: {n} images @ {size}x{size} + labels")
 
 

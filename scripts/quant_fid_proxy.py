@@ -56,6 +56,9 @@ def main():
   assert args.total % args.per_call == 0 and (args.total // 2) % 2 == 0
 
   import jax
+
+  from small_vision_tpu.utils.misc import honor_env_platform
+  honor_env_platform()
   import jax.numpy as jnp
 
   from small_vision_tpu.cli import parse_config
@@ -159,6 +162,7 @@ def main():
   os.makedirs(os.path.dirname(args.out), exist_ok=True)
   with open(args.out, "w") as f:
     json.dump(res, f, indent=1)
+    f.write("\n")
   print(json.dumps(res, indent=1))
 
 

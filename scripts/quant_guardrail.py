@@ -99,6 +99,7 @@ def main():
   out = os.path.join(args.out, f"guardrail_summary_{args.quant}.json")
   with open(out, "w") as f:
     json.dump(summary, f, indent=1)
+    f.write("\n")
   print("[guardrail]", json.dumps(summary), flush=True)
 
 

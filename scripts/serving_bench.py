@@ -164,6 +164,7 @@ def main():
   out = os.path.join(REPO, "perf", "serving_bench.json")
   with open(out, "w") as f:
     json.dump(result, f, indent=1)
+    f.write("\n")
   print(json.dumps(result), flush=True)
 
 

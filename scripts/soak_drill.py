@@ -176,6 +176,7 @@ def main():
   out = os.path.join(args.workdir, "drill_summary.json")
   with open(out, "w") as f:
     json.dump(summary, f, indent=1)
+    f.write("\n")
   print("[drill] OK", json.dumps(summary), flush=True)
 
 

@@ -17,6 +17,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def honor_env_platform():
+  """Re-applies JAX_PLATFORMS after a pre-imported jax ignored it.
+
+  This environment's interpreter pre-imports jax with the platform pinned
+  to the tunneled chip ('axon,cpu'), so `JAX_PLATFORMS=cpu python ...`
+  smoke runs silently land on the REAL chip — and block on the tunnel
+  (found round 5: the latent FID drill's documented CPU smoke hung on a
+  live 127.0.0.1:8113 connection at 0% CPU). Backends initialize lazily;
+  re-asserting the env var via jax.config before the first device query
+  wins (same trick as tests/conftest.py and cli.py:50).
+  """
+  if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
 def itstime(step, every_n_steps, total_steps, host=None, last=True,
             first=True, drop_close_to_last=0.25):
   """True when a periodic action should run at `step`.
