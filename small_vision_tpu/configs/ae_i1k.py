@@ -33,7 +33,15 @@ def get_config(arg=None):
       data="imagenet2012", attn_impl="pallas", runlocal=False, heads=0,
       ckpt_steps=0, log_steps=0,  # 0 = keep the defaults (5000 / 100)
       eval_steps=0,  # 0 = per-evaluator defaults (25k loss / 10k fewshot)
-      quant="",  # "int8_mlp": dynamic int8 MLP matmuls (ops/quant.py)
+      # quant: "" (bf16, default) | "int8_mlp" | "int8_all" — dynamic int8
+      # matmuls (ops/quant.py). int8_all is opt-in for SAMPLING only
+      # (+21% img/s bs64, +9.5% bs512) and stays opt-in until the
+      # ImageNet-day gate flips it: real-weights FID(int8_all) within 0.5
+      # of FID(bf16) on the class-cond B/4 finetune (runbook phase 5).
+      # Evidence so far (all green, docs/MIGRATION.md "Quantization"):
+      # loss-curve delta <=0.054%, digits LP delta <=1.7pp, FID-protocol
+      # feature distance at numerical zero (perf/quant_fid_proxy.json).
+      quant="",
       # FID scoring inputs for the sampling evaluators (ImageNet-day
       # runbook): reference mu/sigma .npz (evaluators/fid.py
       # compute_reference_stats) and converted InceptionV3 weights .npz

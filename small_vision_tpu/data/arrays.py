@@ -112,6 +112,17 @@ class DataSource(core.DataSource):
   def total_examples(self) -> int:
     return self._hi - self._lo
 
+  @property
+  def num_classes(self):
+    """Dataset-level class count (max label + 1) — lets the fewshot
+    evaluator size its one-hot solver per transfer dataset instead of
+    assuming 1000 (reference fewshot_lsr builds from DatasetInfo)."""
+    if self.labels is None:
+      return None
+    if not hasattr(self, "_num_classes"):
+      self._num_classes = int(np.max(self.labels)) + 1
+    return self._num_classes
+
   def _example(self, i):
     ex = {"image": np.asarray(self.images[i]), "_id": np.int64(i)}
     if self.labels is not None:

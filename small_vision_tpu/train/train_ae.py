@@ -433,7 +433,10 @@ def train_and_evaluate(config, workdir: Optional[str] = None, mesh=None):
       int(0.05 * total_steps), 1)
   tx, _ = optim.adamw_trainer_tx(
       peak_lr=float(config.get("peak_lr", 15e-5)),
-      batch_size=batch_size, total_steps=total_steps,
+      batch_size=batch_size,
+      # Clamp so the cosine decay span stays positive in 0-step eval-only
+      # runs (eval_ae_i1k total_steps=0); no-op for real training.
+      total_steps=max(total_steps, warmup_steps + 1),
       warmup_steps=warmup_steps,
       wd=float(config.get("wd", 0.05)),
       betas=tuple(config.get("betas", (0.9, 0.95))),

@@ -46,7 +46,7 @@ class Chrono:
                             else self.steps_per_epoch)
     self._measure = measure or self._measure
     self._write_note = write_note or self._write_note
-    if self.total_steps is not None and self.first_step is not None:
+    if self.total_steps and self.first_step is not None:
       self.note = (f"Steps: {self.first_step}/{self.total_steps} "
                    f"[{self.first_step / self.total_steps:.1%}]")
 
