@@ -248,6 +248,139 @@ def _time_sampler(batch_size=None, sampling_steps=125, quant=None):
   return rates
 
 
+def _time_latent_train(batch_size, steps, windows):
+  """Second-flagship arm (VERDICT r4 task 3): Latent-UMD-L/2 @ 256 training
+  step — in-program VAE encode (random SD-shape weights) + L/2 update — so a
+  regression in the L-scale kernels or the VAE-encode fusion shows up in
+  every BENCH_r{N}.json, not just the one-shot perf/latent_l2_drill.json.
+  Matches BASELINE.md rows 5/11 (reference README.md:41,51) shapes."""
+  from small_vision_tpu import optim, parallel
+  from small_vision_tpu.cli import parse_config
+  from small_vision_tpu.models.vae import load_vae
+  from small_vision_tpu.ops import diffusion as gd_lib
+  from small_vision_tpu.pp.builder import get_preprocess_fn
+  from small_vision_tpu.train import train_ae
+  import small_vision_tpu.pp.ops_general  # noqa: F401
+  import small_vision_tpu.pp.ops_image  # noqa: F401
+
+  variant = os.environ.get("SV_BENCH_LATENT_VARIANT", "L/2")
+  config = parse_config(
+      f"ae_i1k.py:variant={variant},size=256,latent_diffusion=True,"
+      f"data=synthetic,batch_size={batch_size},save_ckpt=False")
+  config.l2_metrics = False
+  mesh = parallel.make_mesh()
+  model = train_ae.build_model(config)
+
+  def init(rng):
+    fake = jnp.zeros((2, 32, 32, 4), jnp.float32)
+    ts = jnp.zeros((2,), jnp.int32)
+    rngs = {"params": rng, "dropout": rng, "mae_noise": rng, "cfg": rng}
+    return model.init(rngs, fake, t=ts, train=True, mask=0.75)["params"]
+
+  tx, _ = optim.adamw_trainer_tx(
+      peak_lr=15e-5, batch_size=batch_size, total_steps=1000,
+      warmup_steps=50, wd=0.05)
+  repl = parallel.replicated_sharding(mesh)
+  params_shape = jax.eval_shape(init, jax.random.PRNGKey(0))
+  params_sharding = parallel.infer_sharding(params_shape, mesh, "replicated")
+  opt_sharding = parallel.infer_sharding(
+      jax.eval_shape(tx.init, params_shape), mesh, "replicated")
+  params = jax.jit(init, out_shardings=params_sharding)(
+      parallel.reshard(jax.random.PRNGKey(0), repl))
+  opt = jax.jit(tx.init, out_shardings=opt_sharding)(params)
+  gd = parallel.reshard(gd_lib.GaussianDiffusion.create(
+      config.diff_schedule["beta_schedule"], 1000), repl)
+  vae_params, vae_encode, _ = load_vae(None, image_size=256)
+  vae_sharding = parallel.infer_sharding(
+      jax.eval_shape(lambda p: p, vae_params), mesh, "replicated")
+  train_state = {"params": params, "opt": opt,
+                 "rng": parallel.reshard(jax.random.PRNGKey(1), repl),
+                 "gd": gd,
+                 "vae_params": parallel.reshard(vae_params, vae_sharding)}
+  train_state_sharding = {
+      "params": params_sharding, "opt": opt_sharding, "rng": repl,
+      "gd": jax.tree.map(lambda _: repl, gd), "vae_params": vae_sharding}
+  del params, opt, vae_params
+
+  _, device_pp = get_preprocess_fn("flip_lr|value_range(-1, 1)")
+  update_fn = train_ae.make_update_fn(
+      model, tx, config, device_pp, mesh, train_state_sharding,
+      vae_encode=vae_encode)
+  rng = np.random.default_rng(0)
+  host_batch = {"image": rng.integers(0, 256, (batch_size, 256, 256, 3),
+                                      dtype=np.uint8)}
+  sharding = parallel.batch_sharding(mesh)
+
+  def fresh():
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x),
+        host_batch)
+
+  state = {"ts": train_state}
+  for _ in range(2):
+    state["ts"], m = update_fn(state["ts"], fresh())
+    float(jax.device_get(m["training_loss"]))
+
+  def run_windows(n):
+    rates = []
+    for _ in range(n):
+      t0 = time.perf_counter()
+      for _ in range(steps):
+        state["ts"], m = update_fn(state["ts"], fresh())
+      loss = float(jax.device_get(m["training_loss"]))
+      dt = time.perf_counter() - t0
+      assert np.isfinite(loss), f"latent bench loss not finite: {loss}"
+      rates.append(batch_size * steps / dt)
+    return rates
+
+  return _requalify(run_windows, windows)
+
+
+def _time_latent_sampler(batch_size, sampling_steps, windows):
+  """Latent class-cond sampler: 125-step DDIM in (32,32,4) + in-program VAE
+  decode to 256px — the BASELINE FID-3.96 execution path
+  (reference trainers/train_ae.py:516-522)."""
+  from small_vision_tpu.cli import parse_config
+  from small_vision_tpu.models.vae import load_vae
+  from small_vision_tpu.ops import diffusion as gd_lib
+  from small_vision_tpu.tools import export_sampler
+  from small_vision_tpu.train import train_ae
+
+  variant = os.environ.get("SV_BENCH_LATENT_VARIANT", "L/2")
+  config = parse_config(
+      f"ae_i1k.py:variant={variant},size=256,latent_diffusion=True,"
+      "use_labels=True")
+  config.num_samples_per_call = batch_size
+  config.diff_schedule.sampling_timesteps = sampling_steps
+  model = train_ae.build_model(config)
+  params = export_sampler.abstract_params(model, config)
+  rng = np.random.default_rng(0)
+  params = jax.tree.map(
+      lambda l: jnp.asarray(rng.normal(0, 0.02, l.shape).astype(l.dtype)),
+      params)
+  vae_params, _, vae_decode = load_vae(None, image_size=256)
+  eval_fns = train_ae.make_eval_fns(model, config, vae_decode=vae_decode)
+  gd = gd_lib.GaussianDiffusion.create(
+      config.diff_schedule["beta_schedule"],
+      int(config.diff_schedule["timesteps"]))
+  # Params as jit ARGS (not closures): closed-over trees embed in the HLO
+  # as constants — HTTP 413 past the tunneled remote-compile body limit.
+  sample_jit = jax.jit(lambda p, vp, key: eval_fns["cond_eps"](
+      {"params": p, "vae_params": vp, "gd": gd, "rng": key},
+      key)["fid_samples"])
+  dparams = jax.device_put(params)
+  dvae = jax.device_put(vae_params)
+
+  def one(key):
+    t0 = time.perf_counter()
+    s = sample_jit(dparams, dvae, key)
+    _ = jax.device_get(s[0, 0, 0, 0])
+    return batch_size / (time.perf_counter() - t0)
+
+  one(jax.random.PRNGKey(0))  # compile + warm
+  return [one(jax.random.PRNGKey(1 + i)) for i in range(windows)]
+
+
 def main():
   if os.environ.get("SV_BENCH_TRAIN") == "0":
     # Sampler-only mode for inference A/B experiments.
@@ -323,6 +456,33 @@ def main():
     except Exception:  # noqa: BLE001 — never fail the bench on the extra.
       import traceback
       traceback.print_exc()
+
+  if os.environ.get("SV_BENCH_LATENT", "1") != "0":
+    # Second flagship: Latent-UMD-L/2 @ 256 (BASELINE.md rows 5/11). Never
+    # fail the scored B/4 metric on this arm, but record the failure.
+    try:
+      l_rates, l_qual = _time_latent_train(
+          int(os.environ.get("SV_BENCH_LATENT_BATCH", 64)),
+          int(os.environ.get("SV_BENCH_LATENT_STEPS", 10)),
+          windows)
+      extras["latent_l2_train_imgs_per_sec_chip"] = round(
+          float(np.median(l_rates)) / n_chips, 2)
+      extras["latent_l2_train_spread_pct"] = round(_spread_pct(l_rates), 2)
+      if l_qual["requalify_retries"]:
+        extras["latent_l2_train_requalify_retries"] = (
+            l_qual["requalify_retries"])
+        extras["latent_l2_host_contended"] = l_qual["host_contended"]
+      ls_rates = _time_latent_sampler(
+          int(os.environ.get("SV_BENCH_LATENT_SAMPLER_BS", 64)), 125,
+          windows=max(windows - 1, 2))
+      extras["latent_l2_sampler_imgs_per_sec"] = round(
+          float(np.median(ls_rates)), 3)
+      extras["latent_l2_sampler_spread_pct"] = round(
+          _spread_pct(ls_rates), 2)
+    except Exception as e:  # noqa: BLE001
+      import traceback
+      traceback.print_exc()
+      extras["latent_l2_error"] = f"{type(e).__name__}: {e}"[:200]
 
   extras["loadavg_end"] = _loadavg()
   print(json.dumps({
