@@ -53,14 +53,36 @@ BASELINE_LP_B4 = 0.318
 BASELINE_FID_B4 = 19.8
 BASELINE_IS_B4 = 46.9
 
+# Measured on-chip throughputs (v5e, this repo's perf artifacts) that the
+# printed time budget derives from. Update these when the bench moves.
+MEASURED = {
+    "train_b4_imgs_per_sec_chip": 959.0,     # BENCH_r04.json
+    "train_l2_latent_imgs_per_sec_chip": 173.6,  # perf/latent_l2_drill.json
+    "sampler_b4_imgs_per_sec": 16.3,         # perf/fid_scale_drill.json bs512
+    "fid_moments_s_per_256": 1.51 / 2,       # 1.51 s per 512-img call
+    "inception_compile_cold_min": 7.5,       # perf/fid_scale_drill.json
+    "imagenet_train_examples": 1_281_167,
+    "imagenet_val_examples": 50_000,
+}
+
+# Production shapes pinned by the FID-at-scale drill
+# (perf/fid_scale_drill.json): bs1024 for EITHER the sampler or the
+# Inception-moments program stalls >20 min in tunneled remote compile;
+# bs512 (sampler) / bs256 (moments) are the known-good shapes.
+SAMPLER_BATCH = 512
+FID_MOMENTS_BATCH = 256
+
 
 def log(msg):
   print(f"[runbook] {msg}", flush=True)
 
 
-def run(cmd, **kw):
+def run(cmd, env_extra=None, **kw):
   log("$ " + " ".join(cmd))
-  rc = subprocess.call(cmd, cwd=REPO, **kw)
+  env = dict(os.environ)
+  if env_extra:
+    env.update(env_extra)
+  rc = subprocess.call(cmd, cwd=REPO, env=env, **kw)
   assert rc == 0, f"command failed rc={rc}: {cmd}"
 
 
@@ -197,8 +219,55 @@ def phase_finetune(args, arrays, workdir, stats_npz, inception_npz):
   if args.dry_run:
     config += (",log_steps=2,eval_steps=1000,ckpt_steps=8,attn_impl=xla,"
                "total_samples=8,samples_per_call=4,fid_batch=8")
+  else:
+    # Known-good tunnel shapes (see SAMPLER_BATCH note above); the
+    # protocol default 1024/1024 remote-compile stalls >20 min.
+    config += (f",samples_per_call={SAMPLER_BATCH},"
+               f"fid_batch={FID_MOMENTS_BATCH}")
   _trainer(config, workdir)
   mark_done(args.root, "finetune")
+
+
+# ---------------------------------------------------------------------------
+# Time budget: per-phase wall-clock estimates from measured throughputs, so
+# ImageNet day starts with a printed schedule instead of surprises
+# (perf/fid_scale_drill.json, perf/latent_l2_drill.json, BENCH_r04.json).
+# ---------------------------------------------------------------------------
+def time_budget(args, cache_warm):
+  m = MEASURED
+  train_rate = (m["train_l2_latent_imgs_per_sec_chip"] if args.latent
+                else m["train_b4_imgs_per_sec_chip"]) * args.chips
+  n_train = m["imagenet_train_examples"]
+  sampler_rate = m["sampler_b4_imgs_per_sec"] * args.chips
+  fid_min_per_10k = (10_000 / sampler_rate
+                     + 10_000 / FID_MOMENTS_BATCH
+                     * m["fid_moments_s_per_256"]) / 60
+  compile_min = 0.0 if cache_warm else m["inception_compile_cold_min"]
+  budget = {
+      "chips": args.chips,
+      "compile_cache": "warm" if cache_warm else "cold",
+      "ingest_min": round(n_train / (args.ingest_workers * 220.0) / 60, 1),
+      "ref_stats_min": round(
+          compile_min + m["imagenet_val_examples"] / FID_MOMENTS_BATCH
+          * m["fid_moments_s_per_256"] / 60, 1),
+      "pretrain_hours": round(
+          args.pretrain_epochs * n_train / train_rate / 3600, 1),
+      "finetune_hours": round(
+          args.finetune_epochs * n_train / train_rate / 3600
+          # one 10k-sample FID per sampling-eval cadence; budget 4 runs.
+          + 4 * fid_min_per_10k / 60, 1),
+      "fid_10k_min_per_eval": round(fid_min_per_10k, 1),
+      "fid_50k_min_final": round(5 * fid_min_per_10k, 1),
+  }
+  budget["total_days"] = round(
+      (budget["pretrain_hours"] + budget["finetune_hours"]) / 24
+      + (budget["ingest_min"] + budget["ref_stats_min"]) / 1440, 2)
+  log("time budget (measured-throughput estimates): "
+      + json.dumps(budget))
+  with open(os.path.join(args.root, "time_budget.json"), "w") as f:
+    json.dump(budget, f, indent=1)
+    f.write("\n")
+  return budget
 
 
 # ---------------------------------------------------------------------------
@@ -276,6 +345,14 @@ def main():
                        "'within 0.5')")
   ap.add_argument("--latent", action="store_true",
                   help="also convert SD-VAE weights for the L/2 latent arm")
+  ap.add_argument("--chips", type=int, default=1,
+                  help="chip count the time budget scales to")
+  ap.add_argument("--jax_cache_dir", default="",
+                  help="persistent XLA compile cache (default "
+                       "{root}/jax_cache). The one-time InceptionV3 "
+                       "compile costs 7.5 min cold through the tunnel "
+                       "(perf/fid_scale_drill.json); the cache makes every "
+                       "later phase/restart warm.")
   ap.add_argument("--dry_run", action="store_true",
                   help="synthetic stand-ins, tiny shapes; proves plumbing")
   args = ap.parse_args()
@@ -290,6 +367,17 @@ def main():
     args.fid_batch = 8
 
   os.makedirs(args.root, exist_ok=True)
+  # Persistent compile cache: set BEFORE any phase imports jax, and
+  # inherited by the trainer subprocesses. Pays the 7.5-min Inception
+  # compile (and the trainer's ~1-min update_fn compile) exactly once
+  # across phases, restarts, and preemption resumes.
+  cache_dir = args.jax_cache_dir or os.path.join(args.root, "jax_cache")
+  os.makedirs(cache_dir, exist_ok=True)
+  cache_warm = bool(os.listdir(cache_dir))
+  os.environ["JAX_COMPILATION_CACHE_DIR"] = cache_dir
+  log(f"compile cache: {cache_dir} ({'warm' if cache_warm else 'cold'})")
+  time_budget(args, cache_warm)
+
   arrays = phase_ingest(args)
   inception_npz = phase_weights(args)
   stats_npz = phase_ref_stats(args, arrays, inception_npz)
