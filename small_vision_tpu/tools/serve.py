@@ -48,7 +48,8 @@ class ServerClosing(Exception):
 
 
 class _Request:
-  __slots__ = ("n", "seed", "event", "result", "error", "t_enqueue")
+  __slots__ = ("n", "seed", "event", "result", "error", "t_enqueue",
+               "parts", "left")
 
   def __init__(self, n, seed):
     self.n = n
@@ -57,6 +58,8 @@ class _Request:
     self.result = None
     self.error = None
     self.t_enqueue = time.perf_counter()
+    self.parts = []   # image slices served so far (split requests)
+    self.left = n     # images still to serve
 
 
 class SamplerServer:
@@ -66,20 +69,30 @@ class SamplerServer:
   one worker thread drains the queue. `stats` is only touched under `_lock`
   (handler threads and the worker both increment it — unlocked dict ops lost
   counts under threading). Coalescing is strict FIFO: a request that would
-  overflow the batch is parked in `_pending` (not re-queued behind newer
-  arrivals) and leads the next batch. The queue is bounded; `sample()` on a
-  full queue raises ServerOverloaded -> HTTP 429 with a Retry-After derived
-  from the measured sampler latency.
+  overflow the batch is parked in `_pending` as a (request, remaining) span
+  (not re-queued behind newer arrivals) and leads the next batch; with
+  `split_requests` (default), an unseeded overflower first ships the chunk
+  that fits. The queue is bounded; `sample()` on a full queue raises
+  ServerOverloaded -> HTTP 429 with a Retry-After derived from the measured
+  sampler latency.
   """
 
   def __init__(self, sample_fn, batch_size, *, max_wait_ms=200.0,
-               max_queue_batches=8):
+               max_queue_batches=8, split_requests=True):
     import jax
 
     self._jax = jax
     self.sample_fn = sample_fn
     self.batch_size = int(batch_size)
     self.max_wait_s = max_wait_ms / 1e3
+    # split_requests: an UNSEEDED request that would overflow the batch is
+    # split — the fitting chunk ships now, the remainder leads the next
+    # batch (same FIFO position). Closes the saturated-load fill gap
+    # (measured 0.84 -> ~1.0, perf/serving_bench.json); parking alone can't
+    # fill a batch whose remainder is smaller than the next request. Seeded
+    # requests are NEVER split: their images must come from one sampler
+    # call. split_requests=False restores strict parking for all.
+    self.split_requests = bool(split_requests)
     # Bound in requests: worst case every request is size 1, so allowing
     # `max_queue_batches` full batches of singles keeps the worst-case wait
     # at ~max_queue_batches * sampler_latency.
@@ -140,22 +153,27 @@ class SamplerServer:
 
   # -- batching worker -----------------------------------------------------
   def _take_batch(self):
-    """Takes the pending head-of-line request (if any), then coalesces from
-    the queue until the batch is full or the deadline passes. Strict FIFO:
-    an arrival that would overflow is parked in `_pending` and is the FIRST
-    element of the next batch — never re-queued behind newer requests."""
+    """Takes the pending head-of-line span (if any), then coalesces from
+    the queue until the batch is full or the deadline passes. Returns a
+    list of (request, count) spans. Strict FIFO: an arrival that would
+    overflow is parked in `_pending` and is the FIRST span of the next
+    batch — never re-queued behind newer requests. With split_requests, an
+    overflowing UNSEEDED request instead ships its fitting chunk now and
+    parks only the remainder (same FIFO position, fuller batches)."""
     batch, used = [], 0
     if self._pending is not None:
-      batch, used = [self._pending], self._pending.n
-      self._pending = None
+      req, count = self._pending
+      take = min(count, self.batch_size)
+      batch, used = [(req, take)], take
+      self._pending = (req, count - take) if count > take else None
     else:
       try:
         first = self.queue.get(timeout=0.1)
       except queue.Empty:
         return []
-      batch, used = [first], first.n
+      batch, used = [(first, first.n)], first.n
     deadline = time.perf_counter() + self.max_wait_s
-    while used < self.batch_size:
+    while used < self.batch_size and self._pending is None:
       remaining = deadline - time.perf_counter()
       if remaining <= 0:
         break
@@ -164,9 +182,15 @@ class SamplerServer:
       except queue.Empty:
         break
       if used + nxt.n > self.batch_size:
-        self._pending = nxt
+        room = self.batch_size - used
+        if self.split_requests and nxt.seed is None and room > 0:
+          batch.append((nxt, room))
+          used += room
+          self._pending = (nxt, nxt.n - room)
+        else:
+          self._pending = (nxt, nxt.n)
         break
-      batch.append(nxt)
+      batch.append((nxt, nxt.n))
       used += nxt.n
     return batch
 
@@ -177,7 +201,7 @@ class SamplerServer:
       if not batch:
         continue
       try:
-        seed = batch[0].seed
+        seed = batch[0][0].seed
         if seed is None:
           self._seed_ctr += 1
           seed = self._seed_ctr
@@ -188,16 +212,25 @@ class SamplerServer:
           self.stats["sampler_ms_last"] = (time.perf_counter() - t0) * 1e3
           self.stats["batches"] += 1
           self.stats["batch_fill_sum"] += (
-              sum(r.n for r in batch) / self.batch_size)
+              sum(c for _, c in batch) / self.batch_size)
         off = 0
-        for r in batch:
-          r.result = images[off:off + r.n]
-          off += r.n
-          r.event.set()
-      except Exception as e:  # noqa: BLE001 — propagate to every waiter.
-        for r in batch:
+        for r, count in batch:
+          r.parts.append(images[off:off + count])
+          off += count
+          r.left -= count
+          if r.left == 0:
+            r.result = (r.parts[0] if len(r.parts) == 1
+                        else np.concatenate(r.parts))
+            r.event.set()
+      except Exception as e:  # noqa: BLE001 — propagate to every waiter,
+        # including partially-served split requests (error wins).
+        for r, _ in batch:
           r.error = e
           r.event.set()
+        if self._pending is not None and self._pending[0].error is not None:
+          # Drop the parked remainder of a request this batch errored —
+          # it can never complete and would wedge drain.
+          self._pending = None
 
 
 def build_sample_fn(args):
