@@ -37,6 +37,8 @@ def arrays_root(tmp_path_factory):
   return str(root)
 
 
+@pytest.mark.slow  # 19 s — covered faster by test_eval_only_transfer's
+# config check; the full wiring runs in the slow suite + digits drill.
 def test_default_eval_set_on_arrays_parent(arrays_root):
   # Build the REAL config's eval dicts for an arrays parent root, then run
   # them against a tiny model. This covers: "arrays:<root>" name-string

@@ -43,6 +43,8 @@ def test_ae_no_mask_path():
   assert pred.shape == (2, 16, 16, 6)
 
 
+@pytest.mark.slow  # 15 s — CFG double-batch semantics also pinned by
+# test_reference_parity.py::test_forward_parity_unconditional_and_cfg.
 def test_ae_dual_forward_matches_separate_applies():
   """dual_forward (batched embed/decoder/head) == two __call__s, exactly,
   when no masking is involved (masking draws rngs in a different order)."""

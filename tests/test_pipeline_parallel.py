@@ -103,6 +103,8 @@ def test_bubble_fraction():
   assert pl.bubble_fraction(4, 13) == pytest.approx(3 / 16)
 
 
+@pytest.mark.slow  # 46 s — heaviest fast test; device-pp equality also
+# runs every round in the driver dryrun + 2-process suite (test_multihost).
 def test_model_pipeline_equals_scan():
   """The FULL flagship model with pipe_stages=4 (enc 8 layers, dec 4) on a
   data=2 x pipe=4 mesh matches the plain scanned model, fwd and grads."""
