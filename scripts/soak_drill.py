@@ -82,6 +82,10 @@ def main():
   ap.add_argument("--kill_after_steps", type=int, default=400)
   ap.add_argument("--resume_steps", type=int, default=200)
   ap.add_argument("--startup_timeout", type=int, default=3600)
+  ap.add_argument("--phase2_only", action="store_true",
+                  help="The workdir already holds a killed phase-1 run (e.g. "
+                       "the prior drill invocation was itself preempted): "
+                       "skip train+kill, go straight to relaunch+assertions.")
   args = ap.parse_args()
 
   # epochs chosen so total_steps = epochs * 50_000 / batch_size.
@@ -93,20 +97,27 @@ def main():
   logpath = os.path.join(args.workdir, "soak.log")
   log = open(logpath, "a")
 
-  print(f"[drill] phase 1: train to step {args.kill_after_steps}", flush=True)
-  proc = launch(config, args.workdir, log)
-  try:
-    rows = wait_for_step(args.workdir, args.kill_after_steps, proc,
-                         args.startup_timeout)
-  finally:
-    if proc.poll() is None:
-      print("[drill] kill -9 (SIGKILL, whole group — simulated preemption)",
-            flush=True)
-      os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
-      proc.wait()
-  # Snapshot phase 1 AFTER the kill (the trainer may have logged past our
-  # last 15 s poll before the SIGKILL landed).
-  phase1 = read_metrics(args.workdir)
+  if args.phase2_only:
+    print("[drill] phase2_only: using existing workdir as post-kill state",
+          flush=True)
+    phase1 = read_metrics(args.workdir)
+    assert phase1, f"--phase2_only but no metrics in {args.workdir}"
+  else:
+    print(f"[drill] phase 1: train to step {args.kill_after_steps}",
+          flush=True)
+    proc = launch(config, args.workdir, log)
+    try:
+      rows = wait_for_step(args.workdir, args.kill_after_steps, proc,
+                           args.startup_timeout)
+    finally:
+      if proc.poll() is None:
+        print("[drill] kill -9 (SIGKILL, whole group — simulated preemption)",
+              flush=True)
+        os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+        proc.wait()
+    # Snapshot phase 1 AFTER the kill (the trainer may have logged past our
+    # last 15 s poll before the SIGKILL landed).
+    phase1 = read_metrics(args.workdir)
   kill_step = phase1[-1]["step"]
   pre_loss = [r["training_loss"] for r in phase1[-5:]]
 
@@ -164,7 +175,32 @@ def main():
   assert all(b >= a for a, b in zip(epochs_seq, epochs_seq[1:])), (
       "Chrono epoch accounting went backwards within the resumed run")
 
+  # Every kill+resume the metrics file has ever seen (the drill itself may
+  # have been preempted between its own phases — each step-decrease boundary
+  # is a real SIGKILL+resume): per-event overlap reproducibility.
+  segs, cur = [], [rows[0]]
+  for r in rows[1:]:
+    if r["step"] <= cur[-1]["step"]:
+      segs.append(cur)
+      cur = [r]
+    else:
+      cur.append(r)
+  segs.append(cur)
+  resume_events = []
+  for a, b in zip(segs, segs[1:]):
+    by_step = {r["step"]: r["training_loss"] for r in a}
+    ov = [(r["step"], r["training_loss"]) for r in b if r["step"] in by_step]
+    dev = max((abs(l - by_step[s]) / max(abs(by_step[s]), 1e-6)
+               for s, l in ov), default=0.0)
+    resume_events.append({
+        "killed_at_step": a[-1]["step"], "resumed_first_log": b[0]["step"],
+        "n_overlap_steps": len(ov), "max_rerun_loss_dev": round(dev, 6)})
+  assert all(e["max_rerun_loss_dev"] < 0.05 for e in resume_events), (
+      f"a resume event diverged from the original trajectory: "
+      f"{resume_events}")
+
   summary = {
+      "resume_events": resume_events,
       "kill_step": kill_step, "first_resumed_step": first_resumed,
       "n_rerun_steps_checked": len(overlap),
       "max_rerun_loss_dev": round(max_rerun_dev, 6),
