@@ -52,6 +52,34 @@ def read_metrics(workdir):
   return [r for r in rows if "training_loss" in r]
 
 
+def analyze_resume_events(rows):
+  """Per-event overlap reproducibility for every kill+resume in a metrics log.
+
+  Each step-decrease boundary in the logged step sequence is a real
+  SIGKILL+resume (the trainer only ever logs monotonically within one
+  process). For each boundary, computes how far the re-run steps' losses
+  deviate from the original pass — restore is state-exact iff 0.
+  """
+  segs, cur = [], [rows[0]]
+  for r in rows[1:]:
+    if r["step"] <= cur[-1]["step"]:
+      segs.append(cur)
+      cur = [r]
+    else:
+      cur.append(r)
+  segs.append(cur)
+  events = []
+  for a, b in zip(segs, segs[1:]):
+    by_step = {r["step"]: r["training_loss"] for r in a}
+    ov = [(r["step"], r["training_loss"]) for r in b if r["step"] in by_step]
+    dev = max((abs(l - by_step[s]) / max(abs(by_step[s]), 1e-6)
+               for s, l in ov), default=0.0)
+    events.append({
+        "killed_at_step": a[-1]["step"], "resumed_first_log": b[0]["step"],
+        "n_overlap_steps": len(ov), "max_rerun_loss_dev": round(dev, 6)})
+  return events
+
+
 def launch(config, workdir, log):
   return subprocess.Popen(
       [sys.executable, "-m", "small_vision_tpu.cli",
@@ -178,23 +206,7 @@ def main():
   # Every kill+resume the metrics file has ever seen (the drill itself may
   # have been preempted between its own phases — each step-decrease boundary
   # is a real SIGKILL+resume): per-event overlap reproducibility.
-  segs, cur = [], [rows[0]]
-  for r in rows[1:]:
-    if r["step"] <= cur[-1]["step"]:
-      segs.append(cur)
-      cur = [r]
-    else:
-      cur.append(r)
-  segs.append(cur)
-  resume_events = []
-  for a, b in zip(segs, segs[1:]):
-    by_step = {r["step"]: r["training_loss"] for r in a}
-    ov = [(r["step"], r["training_loss"]) for r in b if r["step"] in by_step]
-    dev = max((abs(l - by_step[s]) / max(abs(by_step[s]), 1e-6)
-               for s, l in ov), default=0.0)
-    resume_events.append({
-        "killed_at_step": a[-1]["step"], "resumed_first_log": b[0]["step"],
-        "n_overlap_steps": len(ov), "max_rerun_loss_dev": round(dev, 6)})
+  resume_events = analyze_resume_events(rows)
   assert all(e["max_rerun_loss_dev"] < 0.05 for e in resume_events), (
       f"a resume event diverged from the original trajectory: "
       f"{resume_events}")
