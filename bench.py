@@ -336,7 +336,7 @@ def _time_latent_train(batch_size, steps, windows):
   return _requalify(run_windows, windows)
 
 
-def _time_latent_sampler(batch_size, sampling_steps, windows):
+def _time_latent_sampler(batch_size, sampling_steps, windows, quant=None):
   """Latent class-cond sampler: 125-step DDIM in (32,32,4) + in-program VAE
   decode to 256px — the BASELINE FID-3.96 execution path
   (reference trainers/train_ae.py:516-522)."""
@@ -349,7 +349,7 @@ def _time_latent_sampler(batch_size, sampling_steps, windows):
   variant = os.environ.get("SV_BENCH_LATENT_VARIANT", "L/2")
   config = parse_config(
       f"ae_i1k.py:variant={variant},size=256,latent_diffusion=True,"
-      "use_labels=True")
+      "use_labels=True" + (f",quant={quant}" if quant else ""))
   config.num_samples_per_call = batch_size
   config.diff_schedule.sampling_timesteps = sampling_steps
   model = train_ae.build_model(config)
